@@ -97,7 +97,9 @@ def test_get_pulses_and_bits_roundtrip():
             n = (m.eBands[band + 1] - m.eBands[band]) << lm
             if n == 1:
                 continue
-            for pulses_idx in range(1, 10):
+            off = int(m.cache.index[(lm + 1) * m.nbEBands + band])
+            maxk = int(m.cache.bits[off])
+            for pulses_idx in range(1, maxk + 1):
                 bits = modes.pulses2bits(m, band, lm, pulses_idx)
                 back = modes.bits2pulses(m, band, lm, bits)
                 assert back == pulses_idx, (band, lm, pulses_idx)
