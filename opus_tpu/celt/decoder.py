@@ -1,0 +1,565 @@
+"""CELT decoder (reference: celt/celt_decoder.c).
+
+Per-stream scalar decode driver: exact integer symbol path + numpy float DSP.
+The batched TPU synthesis path shares the same state layout (arrays only) and
+lives in opus_tpu.models.  PCM is produced in normalized float ([-1, 1]);
+internal signals use the reference's float build domain (+-32768).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.range_coder import RangeDecoder, ec_tell, ec_tell_frac
+from ..bitstream import laplace
+from . import bands as B
+from . import alloc as A
+from .cwrs import BITRES
+from .modes import CeltMode, mode_create
+from .tables import (E_PROB_MODEL, SMALL_ENERGY_ICDF, PRED_COEF, BETA_COEF,
+                     BETA_INTRA, TRIM_ICDF, SPREAD_ICDF, TAPSET_ICDF,
+                     SPREAD_NORMAL, TF_SELECT_TABLE, COMB_GAINS,
+                     COMBFILTER_MAXPERIOD, COMBFILTER_MINPERIOD)
+from ..ops.mdct import _backward_basis, _window
+
+DECODE_BUFFER_SIZE = 2048
+VERY_SMALL = 1e-30
+CELT_SIG_SCALE = 32768.0
+
+
+def tf_decode(start, end, is_transient, tf_res, lm, dec):
+    budget = dec.storage * 8
+    tell = ec_tell(dec)
+    logp = 2 if is_transient else 4
+    tf_select_rsv = 1 if (lm > 0 and tell + logp + 1 <= budget) else 0
+    budget -= tf_select_rsv
+    tf_changed = curr = 0
+    for i in range(start, end):
+        if tell + logp <= budget:
+            curr ^= dec.dec_bit_logp(logp)
+            tell = ec_tell(dec)
+            tf_changed |= curr
+        tf_res[i] = curr
+        logp = 4 if is_transient else 5
+    tf_select = 0
+    if tf_select_rsv and \
+            TF_SELECT_TABLE[lm][4 * is_transient + 0 + tf_changed] != \
+            TF_SELECT_TABLE[lm][4 * is_transient + 2 + tf_changed]:
+        tf_select = dec.dec_bit_logp(1)
+    for i in range(start, end):
+        tf_res[i] = TF_SELECT_TABLE[lm][4 * is_transient + 2 * tf_select
+                                        + tf_res[i]]
+
+
+def unquant_coarse_energy(m: CeltMode, start, end, old_e_bands, intra, dec,
+                          c, lm):
+    prob_model = E_PROB_MODEL[lm][intra]
+    if intra:
+        coef = 0.0
+        beta = BETA_INTRA
+    else:
+        beta = BETA_COEF[lm]
+        coef = PRED_COEF[lm]
+    prev = [0.0, 0.0]
+    budget = dec.storage * 8
+    for i in range(start, end):
+        for ch in range(c):
+            tell = ec_tell(dec)
+            if budget - tell >= 15:
+                pi = 2 * min(i, 20)
+                qi = laplace.laplace_decode(dec, prob_model[pi] << 7,
+                                            prob_model[pi + 1] << 6)
+            elif budget - tell >= 2:
+                qi = dec.dec_icdf(SMALL_ENERGY_ICDF, 2)
+                qi = (qi >> 1) ^ -(qi & 1)
+            elif budget - tell >= 1:
+                qi = -dec.dec_bit_logp(1)
+            else:
+                qi = -1
+            q = float(qi)
+            old = max(-9.0, old_e_bands[ch * m.nbEBands + i])
+            old_e_bands[ch * m.nbEBands + i] = coef * old + prev[ch] + q
+            prev[ch] = prev[ch] + q - beta * q
+
+
+def unquant_fine_energy(m: CeltMode, start, end, old_e_bands, prev_quant,
+                        extra_quant, dec, c):
+    for i in range(start, end):
+        extra = extra_quant[i]
+        if extra <= 0:
+            continue
+        if ec_tell(dec) + c * extra > dec.storage * 8:
+            continue
+        prev = prev_quant[i] if prev_quant is not None else 0
+        for ch in range(c):
+            q2 = dec.dec_bits(extra)
+            offset = (q2 + 0.5) * (1 << (14 - extra)) / 16384.0 - 0.5
+            offset *= (1 << (14 - prev)) / 16384.0
+            old_e_bands[ch * m.nbEBands + i] += offset
+
+
+def unquant_energy_finalise(m: CeltMode, start, end, old_e_bands, fine_quant,
+                            fine_priority, bits_left, dec, c):
+    for prio in range(2):
+        i = start
+        while i < end and bits_left >= c:
+            if fine_quant[i] >= 8 or fine_priority[i] != prio:
+                i += 1
+                continue
+            for ch in range(c):
+                q2 = dec.dec_bits(1)
+                offset = (q2 - 0.5) * (1 << (14 - fine_quant[i] - 1)) / 16384.0
+                if old_e_bands is not None:
+                    old_e_bands[ch * m.nbEBands + i] += offset
+                bits_left -= 1
+            i += 1
+
+
+def comb_filter(buf, base, t0, t1, n, g0, g1, tapset0, tapset1,
+                window, overlap):
+    """In-place comb postfilter over buf[base:base+n] with history below base.
+
+    Applied in place like the reference (celt/celt.c:238 called with x==y in
+    celt_decode_with_ec), which makes it recursive: taps at lag T read
+    already-filtered output when T < n."""
+    if g0 == 0 and g1 == 0:
+        return
+    t0 = max(t0, COMBFILTER_MINPERIOD)
+    t1 = max(t1, COMBFILTER_MINPERIOD)
+    g00 = g0 * COMB_GAINS[tapset0][0]
+    g01 = g0 * COMB_GAINS[tapset0][1]
+    g02 = g0 * COMB_GAINS[tapset0][2]
+    g10 = g1 * COMB_GAINS[tapset1][0]
+    g11 = g1 * COMB_GAINS[tapset1][1]
+    g12 = g1 * COMB_GAINS[tapset1][2]
+    ov = overlap
+    if g0 == g1 and t0 == t1 and tapset0 == tapset1:
+        ov = 0
+    x1 = buf[base - t1 + 1]
+    x2 = buf[base - t1]
+    x3 = buf[base - t1 - 1]
+    x4 = buf[base - t1 - 2]
+    for i in range(ov):
+        x0 = buf[base + i - t1 + 2]
+        f = window[i] * window[i]
+        buf[base + i] = (buf[base + i]
+                         + (1 - f) * g00 * buf[base + i - t0]
+                         + (1 - f) * g01 * (buf[base + i - t0 + 1]
+                                            + buf[base + i - t0 - 1])
+                         + (1 - f) * g02 * (buf[base + i - t0 + 2]
+                                            + buf[base + i - t0 - 2])
+                         + f * g10 * x2
+                         + f * g11 * (x1 + x3)
+                         + f * g12 * (x0 + x4))
+        x4 = x3
+        x3 = x2
+        x2 = x1
+        x1 = x0
+    if g1 == 0:
+        return
+    # constant-filter tail; recursive at lag t1, so process in lag-sized
+    # chunks that can each be vectorized safely
+    i = ov
+    while i < n:
+        chunk = min(t1 - 2, n - i)
+        idx = np.arange(base + i, base + i + chunk)
+        buf[idx] = (buf[idx]
+                    + g10 * buf[idx - t1]
+                    + g11 * (buf[idx - t1 + 1] + buf[idx - t1 - 1])
+                    + g12 * (buf[idx - t1 + 2] + buf[idx - t1 - 2]))
+        i += chunk
+
+
+@dataclass
+class CeltDecoder:
+    mode: CeltMode
+    channels: int           # CC: output channels
+    stream_channels: int    # C: coded channels
+    downsample: int = 1
+    start: int = 0
+    end: int = 0
+    signalling: int = 0
+    disable_inv: int = 0    # set for mono streams at opus level
+    rng: int = 0
+    error: int = 0
+    loss_duration: int = 0
+    skip_plc: int = 0
+    postfilter_period: int = 0
+    postfilter_period_old: int = 0
+    postfilter_gain: float = 0.0
+    postfilter_gain_old: float = 0.0
+    postfilter_tapset: int = 0
+    postfilter_tapset_old: int = 0
+    prefilter_and_fold: int = 0
+    preemph_memD: np.ndarray = None
+    decode_mem: np.ndarray = None   # [CC, DECODE_BUFFER_SIZE+overlap]
+    oldEBands: np.ndarray = None    # [2*nbEBands]
+    oldLogE: np.ndarray = None
+    oldLogE2: np.ndarray = None
+    backgroundLogE: np.ndarray = None
+
+    @classmethod
+    def create(cls, fs: int, channels: int, frame_mode_fs: int = 48000,
+               frame_size: int = 960):
+        mode = mode_create(frame_mode_fs, frame_size)
+        st = cls(mode=mode, channels=channels, stream_channels=channels)
+        st.downsample = resampling_factor(fs)
+        st.end = mode.effEBands
+        st.reset()
+        return st
+
+    def reset(self):
+        nb = self.mode.nbEBands
+        self.preemph_memD = np.zeros(2)
+        self.decode_mem = np.zeros((self.channels,
+                                    DECODE_BUFFER_SIZE + self.mode.overlap))
+        self.oldEBands = np.zeros(2 * nb)
+        self.oldLogE = np.full(2 * nb, -28.0)
+        self.oldLogE2 = np.full(2 * nb, -28.0)
+        self.backgroundLogE = np.full(2 * nb, -28.0)
+        self.rng = 0
+        self.loss_duration = 0
+        self.skip_plc = 1
+        self.postfilter_period = self.postfilter_period_old = 0
+        self.postfilter_gain = self.postfilter_gain_old = 0.0
+        self.postfilter_tapset = self.postfilter_tapset_old = 0
+        self.prefilter_and_fold = 0
+
+    # ------------------------------------------------------------------
+    def decode_with_ec(self, data: bytes | None, pcm_out: np.ndarray,
+                       frame_size: int, dec: RangeDecoder | None,
+                       accum: bool = False) -> int:
+        """Decode one CELT frame.  pcm_out: [frame_size/downsample * CC]
+        interleaved float PCM in [-1, 1] (added when accum)."""
+        mode = self.mode
+        nbEBands = mode.nbEBands
+        overlap = mode.overlap
+        eBands = mode.eBands
+        start = self.start
+        end = self.end
+        CC = self.channels
+        C = self.stream_channels
+        frame_size *= self.downsample
+
+        lm = 0
+        while lm <= mode.maxLM:
+            if mode.shortMdctSize << lm == frame_size:
+                break
+            lm += 1
+        if lm > mode.maxLM:
+            return -1
+        M = 1 << lm
+        N = M * mode.shortMdctSize
+
+        if data is None or (dec is None and len(data) <= 1):
+            self._decode_lost(N, lm)
+            out_syn_off = DECODE_BUFFER_SIZE - N
+            self._deemphasis(pcm_out, out_syn_off, N, CC, accum)
+            return frame_size // self.downsample
+
+        length = dec.storage if dec is not None else len(data)
+        if dec is None:
+            dec = RangeDecoder(data)
+        len_bytes = dec.storage
+
+        if self.loss_duration == 0:
+            self.skip_plc = 0
+
+        oldBandE = self.oldEBands
+        oldLogE = self.oldLogE
+        oldLogE2 = self.oldLogE2
+        backgroundLogE = self.backgroundLogE
+
+        if C == 1:
+            for i in range(nbEBands):
+                oldBandE[i] = max(oldBandE[i], oldBandE[nbEBands + i])
+
+        total_bits = len_bytes * 8
+        tell = ec_tell(dec)
+
+        if tell >= total_bits:
+            silence = 1
+        elif tell == 1:
+            silence = dec.dec_bit_logp(15)
+        else:
+            silence = 0
+        if silence:
+            tell = len_bytes * 8
+            dec.nbits_total += tell - ec_tell(dec)
+
+        postfilter_gain = 0.0
+        postfilter_pitch = 0
+        postfilter_tapset = 0
+        if start == 0 and tell + 16 <= total_bits:
+            if dec.dec_bit_logp(1):
+                octave = dec.dec_uint(6)
+                postfilter_pitch = (16 << octave) + dec.dec_bits(4 + octave) - 1
+                qg = dec.dec_bits(3)
+                if ec_tell(dec) + 2 <= total_bits:
+                    postfilter_tapset = dec.dec_icdf(TAPSET_ICDF, 2)
+                postfilter_gain = 0.09375 * (qg + 1)
+            tell = ec_tell(dec)
+
+        if lm > 0 and tell + 3 <= total_bits:
+            is_transient = dec.dec_bit_logp(3)
+            tell = ec_tell(dec)
+        else:
+            is_transient = 0
+        short_blocks = M if is_transient else 0
+
+        intra_ener = dec.dec_bit_logp(3) if tell + 3 <= total_bits else 0
+
+        if not intra_ener and self.loss_duration != 0:
+            for ch in range(2):
+                safety = 0.0
+                missing = min(10, self.loss_duration >> lm)
+                if lm == 0:
+                    safety = 1.5
+                elif lm == 1:
+                    safety = 0.5
+                for i in range(start, end):
+                    k = ch * nbEBands + i
+                    if oldBandE[k] < max(oldLogE[k], oldLogE2[k]):
+                        e0 = oldBandE[k]
+                        slope = max(oldLogE[k] - e0, 0.5 * (oldLogE2[k] - e0))
+                        slope = min(slope, 2.0)
+                        e0 -= max(0.0, (1 + missing) * slope)
+                        oldBandE[k] = max(-20.0, e0)
+                    else:
+                        oldBandE[k] = min(oldBandE[k], oldLogE[k], oldLogE2[k])
+                    oldBandE[k] -= safety
+
+        unquant_coarse_energy(mode, start, end, oldBandE, intra_ener, dec,
+                              C, lm)
+
+        tf_res = [0] * nbEBands
+        tf_decode(start, end, is_transient, tf_res, lm, dec)
+
+        tell = ec_tell(dec)
+        spread_decision = SPREAD_NORMAL
+        if tell + 4 <= total_bits:
+            spread_decision = dec.dec_icdf(SPREAD_ICDF, 5)
+
+        cap = A.init_caps(mode, lm, C)
+        offsets = [0] * nbEBands
+
+        dynalloc_logp = 6
+        total_bits <<= BITRES
+        tell = ec_tell_frac(dec)
+        for i in range(start, end):
+            width = C * (eBands[i + 1] - eBands[i]) << lm
+            quanta = min(width << BITRES, max(6 << BITRES, width))
+            dynalloc_loop_logp = dynalloc_logp
+            boost = 0
+            while (tell + (dynalloc_loop_logp << BITRES) < total_bits
+                   and boost < cap[i]):
+                flag = dec.dec_bit_logp(dynalloc_loop_logp)
+                tell = ec_tell_frac(dec)
+                if not flag:
+                    break
+                boost += quanta
+                total_bits -= quanta
+                dynalloc_loop_logp = 1
+            offsets[i] = boost
+            if boost > 0:
+                dynalloc_logp = max(2, dynalloc_logp - 1)
+
+        alloc_trim = dec.dec_icdf(TRIM_ICDF, 7) \
+            if tell + (6 << BITRES) <= total_bits else 5
+
+        bits = (len_bytes * 8 << BITRES) - ec_tell_frac(dec) - 1
+        anti_collapse_rsv = (1 << BITRES) if (
+            is_transient and lm >= 2 and bits >= (lm + 2) << BITRES) else 0
+        bits -= anti_collapse_rsv
+
+        (coded_bands, balance, pulses, fine_quant, fine_priority,
+         intensity, dual_stereo) = A.compute_allocation(
+            mode, start, end, offsets, cap, alloc_trim, 0, 0, bits, C, lm,
+            dec, encode=False)
+
+        unquant_fine_energy(mode, start, end, oldBandE, None, fine_quant,
+                            dec, C)
+
+        # slide decode memory left by N
+        for ch in range(CC):
+            self.decode_mem[ch, :DECODE_BUFFER_SIZE - N + overlap] = \
+                self.decode_mem[ch, N:DECODE_BUFFER_SIZE + overlap]
+
+        # decode band shapes
+        X = np.zeros(C * N)
+        collapse_masks = np.zeros(C * nbEBands, dtype=np.int64)
+        x_ = X[:N]
+        y_ = X[N:] if C == 2 else None
+        self.rng = B.quant_all_bands(
+            0, mode, start, end, x_, y_, collapse_masks, None, pulses,
+            short_blocks, spread_decision, dual_stereo, intensity, tf_res,
+            len_bytes * (8 << BITRES) - anti_collapse_rsv, balance, dec, lm,
+            coded_bands, self.rng, 0, self.disable_inv)
+
+        anti_collapse_on = 0
+        if anti_collapse_rsv > 0:
+            anti_collapse_on = dec.dec_bits(1)
+
+        unquant_energy_finalise(mode, start, end, oldBandE, fine_quant,
+                                fine_priority, len_bytes * 8 - ec_tell(dec),
+                                dec, C)
+
+        if anti_collapse_on:
+            self.rng = B.anti_collapse(mode, X, collapse_masks, lm, C, N,
+                                       start, end, oldBandE, oldLogE,
+                                       oldLogE2, pulses, self.rng)
+
+        if silence:
+            oldBandE[:2 * nbEBands] = -28.0
+
+        eff_end = min(end, mode.effEBands)
+        self._synthesis(X, oldBandE, start, eff_end, C, CC, is_transient,
+                        lm, silence)
+
+        # postfilter
+        out_syn_off = DECODE_BUFFER_SIZE - N
+        window = _window(overlap)
+        pp = max(self.postfilter_period, COMBFILTER_MINPERIOD)
+        ppo = max(self.postfilter_period_old, COMBFILTER_MINPERIOD)
+        self.postfilter_period = pp
+        self.postfilter_period_old = ppo
+        for ch in range(CC):
+            buf = self.decode_mem[ch]
+            comb_filter(buf, out_syn_off, ppo, pp, mode.shortMdctSize,
+                        self.postfilter_gain_old, self.postfilter_gain,
+                        self.postfilter_tapset_old, self.postfilter_tapset,
+                        window, overlap)
+            if lm != 0:
+                comb_filter(buf, out_syn_off + mode.shortMdctSize,
+                            pp, postfilter_pitch, N - mode.shortMdctSize,
+                            self.postfilter_gain, postfilter_gain,
+                            self.postfilter_tapset, postfilter_tapset,
+                            window, overlap)
+        self.postfilter_period_old = self.postfilter_period
+        self.postfilter_gain_old = self.postfilter_gain
+        self.postfilter_tapset_old = self.postfilter_tapset
+        self.postfilter_period = postfilter_pitch
+        self.postfilter_gain = postfilter_gain
+        self.postfilter_tapset = postfilter_tapset
+        if lm != 0:
+            self.postfilter_period_old = self.postfilter_period
+            self.postfilter_gain_old = self.postfilter_gain
+            self.postfilter_tapset_old = self.postfilter_tapset
+
+        if C == 1:
+            oldBandE[nbEBands:2 * nbEBands] = oldBandE[:nbEBands]
+
+        if not is_transient:
+            oldLogE2[:] = oldLogE
+            oldLogE[:] = oldBandE
+        else:
+            np.minimum(oldLogE, oldBandE, out=oldLogE)
+        max_background_increase = min(160, self.loss_duration + M) * 0.001
+        np.minimum(backgroundLogE + max_background_increase, oldBandE,
+                   out=backgroundLogE)
+        for ch in range(2):
+            for i in range(0, start):
+                oldBandE[ch * nbEBands + i] = 0
+                oldLogE[ch * nbEBands + i] = oldLogE2[ch * nbEBands + i] = -28.0
+            for i in range(end, nbEBands):
+                oldBandE[ch * nbEBands + i] = 0
+                oldLogE[ch * nbEBands + i] = oldLogE2[ch * nbEBands + i] = -28.0
+        self.rng = dec.rng
+
+        self._deemphasis(pcm_out, out_syn_off, N, CC, accum)
+        self.loss_duration = 0
+        self.prefilter_and_fold = 0
+        if ec_tell(dec) > 8 * len_bytes:
+            return -3  # OPUS_INTERNAL_ERROR
+        if dec.error:
+            self.error = 1
+        return frame_size // self.downsample
+
+    # ------------------------------------------------------------------
+    def _synthesis(self, X, oldBandE, start, eff_end, C, CC, is_transient,
+                   lm, silence):
+        """denormalise + IMDCT + TDAC into decode_mem
+        (reference: celt_synthesis celt_decoder.c:413)."""
+        mode = self.mode
+        overlap = mode.overlap
+        nbEBands = mode.nbEBands
+        N = mode.shortMdctSize << lm
+        M = 1 << lm
+        if is_transient:
+            nblocks = M
+            nb = mode.shortMdctSize
+        else:
+            nblocks = 1
+            nb = mode.shortMdctSize << lm
+        n2 = nb  # spectrum size per block == block size
+
+        out_off = DECODE_BUFFER_SIZE - N
+        basis = _backward_basis(n2, overlap).astype(np.float64)
+        window = _window(overlap)
+        ov2 = overlap // 2
+
+        freq = np.empty(N)
+        for ch in range(CC):
+            cx = min(ch, C - 1)
+            B.denormalise_bands(mode, X[cx * N:(cx + 1) * N], freq,
+                                oldBandE[cx * nbEBands:], start, eff_end,
+                                M, self.downsample, silence)
+            if CC == 1 and C == 2:
+                freq2 = np.empty(N)
+                B.denormalise_bands(mode, X[N:2 * N], freq2,
+                                    oldBandE[nbEBands:], start, eff_end,
+                                    M, self.downsample, silence)
+                freq = 0.5 * (freq + freq2)
+            # spec[b, k] = freq[b + nblocks*k]
+            spec = freq.reshape(n2, nblocks).T
+            core = spec @ basis   # [nblocks, n2]
+            buf = self.decode_mem[ch]
+            for b in range(nblocks):
+                pos = out_off + nb * b
+                old = buf[pos:pos + ov2].copy()
+                w_lo = window[:ov2]
+                w_hi = window[overlap - 1:ov2 - 1:-1]
+                cur = core[b, ov2 - 1::-1]
+                head = w_hi * old - w_lo * cur
+                mid = (w_lo * old + w_hi * cur)[::-1]
+                buf[pos:pos + ov2] = head
+                buf[pos + ov2:pos + overlap] = mid
+                buf[pos + overlap:pos + n2 + ov2] = core[b, ov2:]
+
+    def _deemphasis(self, pcm_out, out_off, N, CC, accum):
+        mode = self.mode
+        coef0 = mode.preemph[0]
+        Nd = N // self.downsample
+        for ch in range(CC):
+            m = self.preemph_memD[ch]
+            x = self.decode_mem[ch, out_off:out_off + N]
+            # first-order deemphasis y[n] = x[n] + coef0*y[n-1], then decimate
+            tmp = np.empty(N)
+            acc = m
+            for j in range(N):
+                acc = x[j] + VERY_SMALL + acc
+                tmp[j] = acc
+                acc = coef0 * acc
+            self.preemph_memD[ch] = acc
+            dec = tmp[::self.downsample][:Nd]
+            if accum:
+                pcm_out[ch::CC][:Nd] += dec / CELT_SIG_SCALE
+            else:
+                pcm_out[ch::CC][:Nd] = dec / CELT_SIG_SCALE
+
+    def _decode_lost(self, N, lm):
+        """Minimal PLC: fade previous signal (full pitch-based PLC is a
+        follow-up; reference: celt_decode_lost celt_decoder.c:679)."""
+        for ch in range(self.channels):
+            buf = self.decode_mem[ch]
+            buf[:DECODE_BUFFER_SIZE - N + self.mode.overlap] = \
+                buf[N:DECODE_BUFFER_SIZE + self.mode.overlap]
+            buf[DECODE_BUFFER_SIZE - N:] *= 0.0
+        self.loss_duration = min(self.loss_duration + (1 << lm), 10000)
+
+
+def resampling_factor(rate: int) -> int:
+    return {48000: 1, 24000: 2, 16000: 3, 12000: 4, 8000: 6}[rate]
