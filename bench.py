@@ -1,0 +1,51 @@
+"""Throughput benchmark: realtime-equivalent 20 ms CELT decode-DSP streams per
+chip.  Prints ONE JSON line.  Baseline north star: 50,000 streams/chip
+(BASELINE.json) for full enc+dec; this round benches the batched decode
+synthesis pipeline on the TPU (the host symbol pass is not yet batched and is
+excluded — the metric name says what is measured).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from opus_tpu.models.batched_celt import synthesis_step, init_state
+
+    batch = 4096
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(batch, 960).astype(np.float32))
+    log_e = jnp.asarray(rs.randn(batch, 21).astype(np.float32))
+    state = init_state(batch)
+
+    step = jax.jit(lambda a, b, s: synthesis_step(a, b, s))
+
+    # warmup / compile
+    pcm, st = step(x, log_e, state)
+    pcm.block_until_ready()
+
+    iters = 50
+    t0 = time.perf_counter()
+    st_loop = st
+    for _ in range(iters):
+        pcm, st_loop = step(x, log_e, st_loop)
+    pcm.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frames_per_s = batch * iters / dt
+    streams = frames_per_s * 0.020  # each stream needs 50 20ms-frames/s
+    baseline = 50000.0
+    print(json.dumps({
+        "metric": "realtime-equiv 20ms streams/chip (CELT decode DSP, batched)",
+        "value": round(streams, 1),
+        "unit": "streams",
+        "vs_baseline": round(streams / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
