@@ -1,8 +1,9 @@
 """Top-level Opus decoder (reference: src/opus_decoder.c).
 
-Currently supports the CELT-only path end-to-end; SILK and hybrid land with
-the SILK core.  Mirrors opus_decode_native / opus_decode_frame flow:
-packet parse -> per-frame range decode -> codec cores -> PLC routing.
+Mirrors opus_decode_native / opus_decode_frame flow: packet parse ->
+per-frame range decode -> SILK and/or CELT cores -> PLC routing.
+Supports SILK-only, CELT-only and hybrid modes (redundancy frames and
+mode-transition fades land in a follow-up).
 """
 
 from __future__ import annotations
@@ -10,8 +11,10 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitstream import packet as pkt
-from ..bitstream.range_coder import RangeDecoder
+from ..bitstream.range_coder import RangeDecoder, ec_tell
 from ..celt.decoder import CeltDecoder, resampling_factor
+from ..silk.api import SilkDecoder
+from ..silk.tables import FLAG_DECODE_NORMAL, FLAG_PACKET_LOST
 
 
 class OpusDecoder:
@@ -25,6 +28,7 @@ class OpusDecoder:
         self.celt = CeltDecoder.create(fs, channels)
         self.celt.disable_inv = 1 if channels == 1 else 0
         self.celt.signalling = 0
+        self.silk = SilkDecoder()
         self.stream_channels = channels
         self.prev_mode = 0
         self.prev_redundancy = False
@@ -74,19 +78,80 @@ class OpusDecoder:
 
     def _decode_frame(self, frame: bytes | None, pcm: np.ndarray,
                       frame_size: int):
+        """(reference: opus_decode_frame src/opus_decoder.c:271)"""
         c = self.celt
         if frame is None:
             mode = pkt.Mode.CELT_ONLY if self.prev_redundancy else self.prev_mode
-            if mode != pkt.Mode.CELT_ONLY:
-                raise NotImplementedError("SILK PLC not implemented yet")
-            c.decode_with_ec(None, pcm, frame_size, None)
+            if mode == pkt.Mode.CELT_ONLY:
+                c.decode_with_ec(None, pcm, frame_size, None)
+            else:
+                out = self.silk.decode(
+                    None, n_channels_api=self.channels,
+                    n_channels_internal=self.silk.nChannelsInternal or 1,
+                    api_sample_rate=self.fs,
+                    internal_sample_rate=1000 * (self.silk.channel_state[0].fs_kHz or 16),
+                    payload_size_ms=max(10, 1000 * frame_size // self.fs),
+                    lost_flag=FLAG_PACKET_LOST, new_packet_flag=True)
+                n = min(len(out), len(pcm))
+                pcm[:n] = out[:n] / 32768.0
             self.rangeFinal = 0
             return
         mode = self.mode
-        if mode != pkt.Mode.CELT_ONLY:
-            raise NotImplementedError("SILK/hybrid decode lands with the "
-                                      "SILK core")
         dec = RangeDecoder(frame)
+        length = len(frame)
+        audiosize = frame_size
+
+        # ---- SILK half ----
+        if mode != pkt.Mode.CELT_ONLY:
+            if self.prev_mode == pkt.Mode.CELT_ONLY:
+                self.silk.reset()
+            payload_ms = max(10, 1000 * audiosize // self.fs)
+            if mode == pkt.Mode.SILK_ONLY:
+                isr = {pkt.Bandwidth.NARROWBAND: 8000,
+                       pkt.Bandwidth.MEDIUMBAND: 12000}.get(self.bandwidth,
+                                                            16000)
+            else:
+                isr = 16000
+            decoded = 0
+            first = True
+            while decoded < audiosize:
+                out = self.silk.decode(
+                    dec, n_channels_api=self.channels,
+                    n_channels_internal=self.stream_channels,
+                    api_sample_rate=self.fs, internal_sample_rate=isr,
+                    payload_size_ms=payload_ms,
+                    lost_flag=FLAG_DECODE_NORMAL, new_packet_flag=first)
+                first = False
+                n = len(out) // self.channels
+                pcm[decoded * self.channels:
+                    (decoded + n) * self.channels] = out / 32768.0
+                decoded += n
+
+        # ---- redundancy signaling (parsed to keep the stream in sync) ----
+        redundancy = 0
+        redundancy_bytes = 0
+        celt_to_silk = 0
+        if (mode != pkt.Mode.CELT_ONLY
+                and ec_tell(dec) + 17 + 20 * (mode == pkt.Mode.HYBRID)
+                <= 8 * length):
+            if mode == pkt.Mode.HYBRID:
+                redundancy = dec.dec_bit_logp(12)
+            else:
+                redundancy = 1
+            if redundancy:
+                celt_to_silk = dec.dec_bit_logp(1)
+                redundancy_bytes = (dec.dec_uint(256) + 2
+                                    if mode == pkt.Mode.HYBRID
+                                    else length - ((ec_tell(dec) + 7) >> 3))
+                length -= redundancy_bytes
+                if length * 8 < ec_tell(dec):
+                    length = 0
+                    redundancy_bytes = 0
+                    redundancy = 0
+                dec.storage -= redundancy_bytes
+
+        start_band = 0 if mode == pkt.Mode.CELT_ONLY else 17
+
         endband = {pkt.Bandwidth.NARROWBAND: 13,
                    pkt.Bandwidth.MEDIUMBAND: 17,
                    pkt.Bandwidth.WIDEBAND: 17,
@@ -94,12 +159,47 @@ class OpusDecoder:
                    pkt.Bandwidth.FULLBAND: 21}[self.bandwidth]
         c.end = endband
         c.stream_channels = self.stream_channels
-        c.start = 0
-        if (self.prev_mode not in (0, mode)) and not self.prev_redundancy:
+
+        redundant_rng = 0
+        f5 = self.fs // 200
+        if redundancy and celt_to_silk:
+            c.start = 0
+            red_pcm = np.zeros(f5 * self.channels)
+            c.decode_with_ec(frame[length:length + redundancy_bytes],
+                             red_pcm, f5,
+                             RangeDecoder(frame[length:length
+                                                + redundancy_bytes]))
+            redundant_rng = c.rng
+
+        c.start = start_band
+
+        if mode != pkt.Mode.SILK_ONLY:
+            celt_frame_size = min(self.fs // 50, audiosize)
+            if mode != self.prev_mode and self.prev_mode > 0 \
+                    and not self.prev_redundancy:
+                c.reset()
+            ret = c.decode_with_ec(frame, pcm, celt_frame_size, dec,
+                                   accum=(mode != pkt.Mode.CELT_ONLY))
+            if ret < 0:
+                raise RuntimeError(f"celt decode failed ({ret})")
+            self.rangeFinal = c.rng
+        else:
+            self.rangeFinal = dec.rng
+
+        if redundancy and not celt_to_silk:
             c.reset()
-        ret = c.decode_with_ec(frame, pcm, frame_size, dec)
-        if ret < 0:
-            raise RuntimeError(f"celt decode failed ({ret})")
-        self.rangeFinal = c.rng
+            c.start = 0
+            red_pcm = np.zeros(f5 * self.channels)
+            c.decode_with_ec(frame[length:length + redundancy_bytes],
+                             red_pcm, f5,
+                             RangeDecoder(frame[length:length
+                                                + redundancy_bytes]))
+            redundant_rng = c.rng
+            # smooth_fade of the tail (simplified: replace the last 2.5 ms)
+            f2_5 = f5 // 2
+            pcm[(audiosize - f2_5) * self.channels:] = \
+                red_pcm[f2_5 * self.channels:f5 * self.channels]
+
+        self.rangeFinal ^= redundant_rng
         self.prev_mode = mode
-        self.prev_redundancy = False
+        self.prev_redundancy = bool(redundancy and not celt_to_silk)

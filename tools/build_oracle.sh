@@ -15,6 +15,20 @@ gcc -O2 -fPIC -shared \
     "$REF/celt/laplace.c" \
     -o "$BUILD/libentropy_oracle.so"
 
+# Packet/extensions oracle
+printf 'int opus_limit2_checkwithin1_c(float *s, int n){(void)s;(void)n;return 0;}\n' \
+    > "$BUILD/oracle_inc/stub_limit2.c"
+gcc -O2 -fPIC -shared \
+    -I"$BUILD/oracle_inc" -I"$REF/include" -I"$REF/celt" -I"$REF/src" \
+    "$REF/src/extensions.c" "$REF/src/opus.c" "$BUILD/oracle_inc/stub_limit2.c" \
+    -o "$BUILD/libpacket_oracle.so"
+
+# MDCT oracle
+gcc -O2 -fPIC -shared -DCUSTOM_MODES -DVAR_ARRAYS \
+    -I"$BUILD/oracle_inc" -I"$REF/include" -I"$REF/celt" -I"$REF/src" \
+    "$REPO/tools/mdct_oracle_shim.c" "$REF/celt/mdct.c" "$REF/celt/kiss_fft.c" \
+    -o "$BUILD/libmdct_oracle.so"
+
 # Full library + opus_demo for end-to-end vectors (cmake, static)
 if [ ! -x "$BUILD/opus_demo" ]; then
     cmake -S "$REF" -B "$BUILD" -DCMAKE_BUILD_TYPE=Release \
@@ -22,4 +36,22 @@ if [ ! -x "$BUILD/opus_demo" ]; then
         -DOPUS_CUSTOM_MODES=ON -G Ninja > "$BUILD/cfg.log" 2>&1
     ninja -C "$BUILD" > "$BUILD/build.log" 2>&1
 fi
+
+# PIC build of the full library for linking test shims
+if [ ! -f "$REPO/.ref_build_pic/libopus.a" ]; then
+    cmake -S "$REF" -B "$REPO/.ref_build_pic" -DCMAKE_BUILD_TYPE=Release \
+        -DCMAKE_POSITION_INDEPENDENT_CODE=ON -DOPUS_CUSTOM_MODES=ON \
+        -G Ninja > "$REPO/.ref_build_pic/cfg.log" 2>&1 || true
+    ninja -C "$REPO/.ref_build_pic" > "$REPO/.ref_build_pic/build.log" 2>&1
+fi
+
+# SILK decoder oracle (linked against the PIC lib)
+gcc -O2 -fPIC -shared -DHAVE_CONFIG_H=0 -DVAR_ARRAYS \
+    -I"$BUILD/oracle_inc" -I"$REF/include" -I"$REF/celt" -I"$REF/silk" \
+    -I"$REF/silk/fixed" -I"$REF/src" \
+    "$REPO/tools/silk_oracle_shim.c" "$REPO/tools/silk_oracle_shim2.c" \
+    -o "$BUILD/libsilk_oracle.so" \
+    -L"$REPO/.ref_build_pic" -Wl,--whole-archive "$REPO/.ref_build_pic/libopus.a" \
+    -Wl,--no-whole-archive -lm 2>/dev/null
+
 echo "oracle build ok"
