@@ -1,0 +1,93 @@
+"""opus_demo-compatible CLI (reference: src/opus_demo.c).
+
+Decode:  python -m opus_tpu.tools.opus_demo -d <rate> <channels> in.bit out.pcm
+Compare: python -m opus_tpu.tools.opus_demo compare [-s] [-r rate] ref.sw test.sw
+
+The .bit format matches the reference demo: per packet a 4-byte big-endian
+length, a 4-byte big-endian encoder final range, then the payload.
+Output PCM is 16-bit little-endian.
+"""
+
+from __future__ import annotations
+
+import argparse
+import struct
+import sys
+
+import numpy as np
+
+
+def decode(rate: int, channels: int, bit_path: str, pcm_path: str,
+           check_range: bool = True) -> int:
+    from ..models.opus_decoder import OpusDecoder
+
+    dec = OpusDecoder(rate, channels)
+    data = open(bit_path, "rb").read()
+    out = []
+    pos = 0
+    npkt = 0
+    mismatches = 0
+    while pos < len(data):
+        if pos + 8 > len(data):
+            break
+        length, enc_range = struct.unpack(">iI", data[pos:pos + 8])
+        pos += 8
+        payload = data[pos:pos + length]
+        pos += length
+        if length == 0:
+            pcm = dec.decode(None)
+        else:
+            pcm = dec.decode(payload)
+            if check_range and enc_range != 0 and dec.rangeFinal != enc_range:
+                mismatches += 1
+        out.append(pcm)
+        npkt += 1
+    pcm = np.concatenate(out) if out else np.zeros(0)
+    pcm16 = np.clip(np.floor(pcm * 32768 + 0.5), -32768, 32767).astype("<i2")
+    pcm16.tofile(pcm_path)
+    if mismatches:
+        print(f"WARNING: {mismatches}/{npkt} final_range mismatches",
+              file=sys.stderr)
+        return 1
+    print(f"decoded {npkt} packets -> {len(pcm16) // channels} samples",
+          file=sys.stderr)
+    return 0
+
+
+def run_compare(args) -> int:
+    from ..utils.compare import compare
+
+    ref = np.fromfile(args.ref, dtype=np.int16)
+    test = np.fromfile(args.test, dtype=np.int16)
+    err, q = compare(ref, test, 2 if args.stereo else 1, args.rate)
+    if q < 0:
+        print("Test vector FAILS", file=sys.stderr)
+        print(f"Internal weighted error is {err:f}", file=sys.stderr)
+        return 1
+    print("Test vector PASSES", file=sys.stderr)
+    print(f"Opus quality metric: {q:.1f} % "
+          f"(internal weighted error is {err:f})", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "compare":
+        p = argparse.ArgumentParser(prog="opus_demo compare")
+        p.add_argument("-s", dest="stereo", action="store_true")
+        p.add_argument("-r", dest="rate", type=int, default=48000)
+        p.add_argument("ref")
+        p.add_argument("test")
+        return run_compare(p.parse_args(argv[1:]))
+    p = argparse.ArgumentParser(prog="opus_demo")
+    p.add_argument("-d", dest="decode", action="store_true", required=True)
+    p.add_argument("rate", type=int)
+    p.add_argument("channels", type=int)
+    p.add_argument("input")
+    p.add_argument("output")
+    a = p.parse_args(argv)
+    return decode(a.rate, a.channels, a.input, a.output)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
