@@ -236,6 +236,21 @@ class RangeEncoder:
                         self.error = -1
                     self.buf[self.storage - self.end_offs - 1] |= window & 0xFF
 
+    # -- state snapshots (for two-pass encoding decisions) -----------------
+    def save_state(self):
+        return (self.storage, self.end_offs, self.end_window, self.nend_bits,
+                self.nbits_total, self.offs, self.rng, self.val, self.ext,
+                self.rem, self.error, bytes(self.buf[:self.offs]),
+                bytes(self.buf[self.storage - self.end_offs:self.storage]))
+
+    def restore_state(self, state):
+        (self.storage, self.end_offs, self.end_window, self.nend_bits,
+         self.nbits_total, self.offs, self.rng, self.val, self.ext,
+         self.rem, self.error, head, tail) = state
+        self.buf[:len(head)] = head
+        if self.end_offs:
+            self.buf[self.storage - self.end_offs:self.storage] = tail
+
     # -- introspection -----------------------------------------------------
     def range_bytes(self) -> int:
         return self.offs

@@ -54,6 +54,31 @@ def decode(rate: int, channels: int, bit_path: str, pcm_path: str,
     return 0
 
 
+def encode(application: str, rate: int, channels: int, bitrate: int,
+           pcm_path: str, bit_path: str, frame_ms: float = 20.0,
+           cbr: bool = False, complexity: int = 9) -> int:
+    from ..models.opus_encoder import OpusEncoder
+
+    enc = OpusEncoder(rate, channels, application)
+    enc.set_bitrate(bitrate)
+    enc.set_vbr(not cbr)
+    enc.complexity = complexity
+    pcm = np.fromfile(pcm_path, dtype=np.int16).astype(np.float64) / 32768.0
+    frame = int(rate * frame_ms / 1000)
+    n = len(pcm) // channels
+    out = open(bit_path, "wb")
+    npkt = 0
+    for f in range(n // frame):
+        payload = enc.encode(pcm[f * frame * channels:(f + 1) * frame * channels],
+                             frame)
+        out.write(struct.pack(">iI", len(payload), enc.rangeFinal))
+        out.write(payload)
+        npkt += 1
+    out.close()
+    print(f"encoded {npkt} packets", file=sys.stderr)
+    return 0
+
+
 def run_compare(args) -> int:
     from ..utils.compare import compare
 
@@ -79,6 +104,20 @@ def main(argv=None) -> int:
         p.add_argument("ref")
         p.add_argument("test")
         return run_compare(p.parse_args(argv[1:]))
+    if argv and argv[0] == "-e":
+        p = argparse.ArgumentParser(prog="opus_demo -e")
+        p.add_argument("application")
+        p.add_argument("rate", type=int)
+        p.add_argument("channels", type=int)
+        p.add_argument("bitrate", type=int)
+        p.add_argument("-framesize", type=float, default=20.0)
+        p.add_argument("-cbr", action="store_true")
+        p.add_argument("-complexity", type=int, default=9)
+        p.add_argument("input")
+        p.add_argument("output")
+        a = p.parse_args(argv[1:])
+        return encode(a.application, a.rate, a.channels, a.bitrate,
+                      a.input, a.output, a.framesize, a.cbr, a.complexity)
     p = argparse.ArgumentParser(prog="opus_demo")
     p.add_argument("-d", dest="decode", action="store_true", required=True)
     p.add_argument("rate", type=int)
