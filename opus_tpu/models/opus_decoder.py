@@ -15,6 +15,7 @@ from ..bitstream.range_coder import RangeDecoder, ec_tell
 from ..celt.decoder import CeltDecoder, resampling_factor
 from ..silk.api import SilkDecoder
 from ..silk.tables import FLAG_DECODE_NORMAL, FLAG_PACKET_LOST
+from ..utils.soft_clip import pcm_soft_clip, float2int16
 
 
 class OpusDecoder:
@@ -37,6 +38,7 @@ class OpusDecoder:
         self.frame_size = fs // 400
         self.mode = 0
         self.bandwidth = 0
+        self.softclip_mem = np.zeros(channels, dtype=np.float32)
 
     def decode(self, data: bytes | None, frame_size: int | None = None,
                decode_fec: bool = False) -> np.ndarray:
@@ -59,6 +61,16 @@ class OpusDecoder:
         if nb_samples * 25 > self.fs * 3:
             raise ValueError("invalid packet duration")
         return self._decode_frames(data, parsed.frames, frame_size)
+
+    def decode_int16(self, data: bytes | None,
+                     frame_size: int | None = None,
+                     decode_fec: bool = False) -> np.ndarray:
+        """int16 decode API (reference: opus_decode src/opus_decoder.c in
+        float builds): float decode -> opus_pcm_soft_clip -> FLOAT2INT16."""
+        pcm = np.asarray(self.decode(data, frame_size, decode_fec),
+                         dtype=np.float32)
+        pcm_soft_clip(pcm, self.channels, self.softclip_mem)
+        return float2int16(pcm)
 
     def _decode_frames(self, data, frames, frame_size) -> np.ndarray:
         if data is None:

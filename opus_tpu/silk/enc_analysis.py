@@ -1,0 +1,440 @@
+"""SILK encoder float analysis (reference: silk/float/*.c).
+
+Everything here is encoder-side float math whose outputs feed the exact
+fixed-point quantizers in opus_tpu.silk.encoder; none of it needs to be
+bit-identical to the reference (any valid encoder decision is legal)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import tables as T
+from . import tables_data as TD
+from .tables import (LTP_ORDER, PE_MIN_LAG_MS, PE_MAX_LAG_MS, MAX_NB_SUBFR,
+                     TYPE_VOICED)
+
+# tuning_parameters.h
+FIND_PITCH_WHITE_NOISE_FRACTION = 1e-3
+FIND_PITCH_BANDWIDTH_EXPANSION = 0.99
+FIND_LPC_COND_FAC = 1e-5
+BANDWIDTH_EXPANSION = 0.94
+SHAPE_WHITE_NOISE_FRACTION = 3e-5
+HARMONIC_SHAPING = 0.3
+HIGH_RATE_OR_LOW_QUALITY_HARMONIC_SHAPING = 0.2
+HP_NOISE_COEF = 0.25
+HARM_HP_NOISE_COEF = 0.35
+LOW_FREQ_SHAPING = 4.0
+LOW_QUALITY_LOW_FREQ_SHAPING_DECR = 0.5
+SUBFR_SMTH_COEF = 0.4
+LAMBDA_OFFSET = 1.2
+LAMBDA_SPEECH_ACT = -0.2
+LAMBDA_DELAYED_DECISIONS = -0.05
+LAMBDA_INPUT_QUALITY = -0.1
+LAMBDA_CODING_QUALITY = -0.2
+LAMBDA_QUANT_OFFSET = 0.8
+BG_SNR_DECR_dB = 2.0
+HARM_SNR_INCR_dB = 2.0
+ENERGY_VARIATION_THRESHOLD_QNT_OFFSET = 0.6
+LTP_CORR_INV_MAX = 0.03
+MAX_SUM_LOG_GAIN_DB = 250.0
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + math.exp(-x))
+
+
+def apply_sine_window(x, win_type):
+    """(reference: apply_sine_window_FLP.c).  Returns windowed copy."""
+    length = len(x)
+    freq = math.pi / (length + 1)
+    c = 2.0 - freq * freq
+    if win_type < 2:
+        s0, s1 = 0.0, freq
+    else:
+        s0, s1 = 1.0, 0.5 * c
+    out = np.empty(length)
+    for k in range(0, length, 4):
+        out[k] = x[k] * 0.5 * (s0 + s1)
+        out[k + 1] = x[k + 1] * s1
+        s0 = c * s1 - s0
+        out[k + 2] = x[k + 2] * 0.5 * (s1 + s0)
+        out[k + 3] = x[k + 3] * s0
+        s1 = c * s0 - s1
+    return out
+
+
+def autocorrelation(x, order):
+    n = len(x)
+    return np.array([float(np.dot(x[:n - k], x[k:])) for k in range(order + 1)])
+
+
+def schur(auto_corr, order):
+    """Returns (refl_coefs, residual_energy)."""
+    c0 = auto_corr[:order + 1].astype(np.float64).copy()
+    c1 = c0.copy()
+    rc = np.zeros(order)
+    for k in range(order):
+        rc_tmp = -c0[k + 1] / max(c1[0], 1e-9)
+        rc[k] = rc_tmp
+        for n in range(order - k):
+            ctmp1 = c0[n + k + 1]
+            ctmp2 = c1[n]
+            c0[n + k + 1] = ctmp1 + ctmp2 * rc_tmp
+            c1[n] = ctmp2 + ctmp1 * rc_tmp
+    return rc, float(c1[0])
+
+
+def k2a(rc, order):
+    a = np.zeros(order)
+    for k in range(order):
+        rck = rc[k]
+        for n in range((k + 1) >> 1):
+            t1, t2 = a[n], a[k - n - 1]
+            a[n] = t1 + t2 * rck
+            a[k - n - 1] = t2 + t1 * rck
+        a[k] = -rck
+    return a
+
+
+def bwexpander_flp(ar, chirp):
+    c = chirp
+    for i in range(len(ar) - 1):
+        ar[i] *= c
+        c *= chirp
+    ar[-1] *= c
+
+
+def lpc_analysis_filter_flp(x, a, order):
+    """Residual r[n] = x[n] - sum a[k] x[n-1-k]; first `order` outputs zero."""
+    n = len(x)
+    res = np.zeros(n)
+    if n > order:
+        pred = np.zeros(n - order)
+        for k in range(order):
+            pred += a[k] * x[order - 1 - k:n - 1 - k]
+        res[order:] = x[order:] - pred
+    return res
+
+
+def warped_autocorrelation(x, warping, order):
+    """(reference: warped_autocorrelation_FLP.c)"""
+    state = np.zeros(order + 1)
+    c = np.zeros(order + 1)
+    for xn in x:
+        tmp1 = xn
+        for i in range(0, order, 2):
+            tmp2 = state[i] + warping * state[i + 1] - warping * tmp1
+            state[i] = tmp1
+            c[i] += state[0] * tmp1
+            tmp1 = state[i + 1] + warping * state[i + 2] - warping * tmp2
+            state[i + 1] = tmp2
+            c[i + 1] += state[0] * tmp2
+        state[order] = tmp1
+        c[order] += state[0] * tmp1
+    return c
+
+
+def burg_modified(x, min_inv_gain, subfr_length, nb_subfr, order):
+    """Returns (A, residual_energy) (reference: burg_modified_FLP.c)."""
+    c0 = float(sum(np.dot(x[s * subfr_length:(s + 1) * subfr_length],
+                          x[s * subfr_length:(s + 1) * subfr_length])
+                   for s in range(nb_subfr)))
+    c_first = np.zeros(order)
+    for s in range(nb_subfr):
+        xs = x[s * subfr_length:(s + 1) * subfr_length]
+        for n in range(1, order + 1):
+            c_first[n - 1] += float(np.dot(xs[:subfr_length - n], xs[n:]))
+    c_last = c_first.copy()
+    caf = np.zeros(order + 1)
+    cab = np.zeros(order + 1)
+    caf[0] = cab[0] = c0 + FIND_LPC_COND_FAC * c0 + 1e-9
+    af = np.zeros(order)
+    inv_gain = 1.0
+    reached_max_gain = False
+    for n in range(order):
+        for s in range(nb_subfr):
+            xs = x[s * subfr_length:(s + 1) * subfr_length]
+            tmp1 = xs[n]
+            tmp2 = xs[subfr_length - n - 1]
+            for k in range(n):
+                c_first[k] -= xs[n] * xs[n - k - 1]
+                c_last[k] -= xs[subfr_length - n - 1] * xs[subfr_length - n + k]
+                atmp = af[k]
+                tmp1 += xs[n - k - 1] * atmp
+                tmp2 += xs[subfr_length - n + k] * atmp
+            for k in range(n + 1):
+                caf[k] -= tmp1 * xs[n - k]
+                cab[k] -= tmp2 * xs[subfr_length - n + k - 1]
+        tmp1 = c_first[n]
+        tmp2 = c_last[n]
+        for k in range(n):
+            atmp = af[k]
+            tmp1 += c_last[n - k - 1] * atmp
+            tmp2 += c_first[n - k - 1] * atmp
+        caf[n + 1] = tmp1
+        cab[n + 1] = tmp2
+        num = cab[n + 1]
+        nrg_b = cab[0]
+        nrg_f = caf[0]
+        for k in range(n):
+            atmp = af[k]
+            num += cab[n - k] * atmp
+            nrg_b += cab[k + 1] * atmp
+            nrg_f += caf[k + 1] * atmp
+        rc = -2.0 * num / (nrg_f + nrg_b)
+        tmp1 = inv_gain * (1.0 - rc * rc)
+        if tmp1 <= min_inv_gain:
+            rc = math.sqrt(1.0 - min_inv_gain / inv_gain)
+            if num > 0:
+                rc = -rc
+            inv_gain = min_inv_gain
+            reached_max_gain = True
+        else:
+            inv_gain = tmp1
+        for k in range((n + 1) >> 1):
+            t1, t2 = af[k], af[n - k - 1]
+            af[k] = t1 + rc * t2
+            af[n - k - 1] = t2 + rc * t1
+        af[n] = rc
+        if reached_max_gain:
+            af[n + 1:] = 0.0
+            break
+        for k in range(n + 2):
+            t1 = caf[k]
+            caf[k] += rc * cab[n - k + 1]
+            cab[n - k + 1] += rc * t1
+    if reached_max_gain:
+        a = -af
+        for s in range(nb_subfr):
+            c0 -= float(np.dot(x[s * subfr_length:s * subfr_length + order],
+                               x[s * subfr_length:s * subfr_length + order]))
+        nrg_f = c0 * inv_gain
+    else:
+        nrg_f = caf[0]
+        tmp1 = 1.0
+        for k in range(order):
+            nrg_f += caf[k + 1] * af[k]
+            tmp1 += af[k] * af[k]
+        nrg_f -= FIND_LPC_COND_FAC * c0 * tmp1
+        a = -af
+    return a, float(nrg_f)
+
+
+def find_pitch_lags(state, x_buf, res_out):
+    """Pitch pre-analysis: windowed LPC + residual
+    (reference: find_pitch_lags_FLP.c).  Returns (res, pred_gain)."""
+    buf_len = state.la_pitch + state.frame_length + state.ltp_mem_length
+    pw = state.pitch_lpc_win_length
+    xseg = x_buf[buf_len - pw:buf_len]
+    la = state.la_pitch
+    wsig = np.concatenate([
+        apply_sine_window(xseg[:la], 1),
+        xseg[la:pw - la],
+        apply_sine_window(xseg[pw - la:], 2)])
+    order = state.pitch_estimation_lpc_order
+    ac = autocorrelation(wsig, order)
+    ac[0] += ac[0] * FIND_PITCH_WHITE_NOISE_FRACTION + 1
+    rc, res_nrg = schur(ac, order)
+    pred_gain = ac[0] / max(res_nrg, 1.0)
+    a = k2a(rc, order)
+    bwexpander_flp(a, FIND_PITCH_BANDWIDTH_EXPANSION)
+    res = lpc_analysis_filter_flp(x_buf[:buf_len], a, order)
+    res_out[:buf_len] = res
+    return pred_gain
+
+
+def pitch_analysis(res, fs_khz, nb_subfr, subfr_length, ltp_mem_length,
+                   la_pitch, thrhld, prev_lag):
+    """Contour-codebook pitch search over the LPC residual.
+
+    Unlike the reference's 3-stage decimated search
+    (pitch_analysis_core_FLP.c), we search the (base lag x contour) grid
+    directly with vectorized correlations -- same codebooks, so the coded
+    (lagIndex, contourIndex) decode to exactly the pitchL we used.
+    Returns (voiced, lag_index, contour_index, pitchL, ltp_corr)."""
+    min_lag = PE_MIN_LAG_MS * fs_khz
+    max_lag = PE_MAX_LAG_MS * fs_khz
+    if fs_khz == 8:
+        cb = T.CB_LAGS_STAGE2 if nb_subfr == MAX_NB_SUBFR else T.CB_LAGS_STAGE2_10MS
+    else:
+        cb = T.CB_LAGS_STAGE3 if nb_subfr == MAX_NB_SUBFR else T.CB_LAGS_STAGE3_10MS
+    nb_cbk = len(cb[0])
+
+    frame_start = ltp_mem_length
+    # normalized cross-correlation per subframe for every lag
+    nlags = max_lag - min_lag + 1
+    corr = np.zeros((nb_subfr, nlags))
+    for k in range(nb_subfr):
+        seg = res[frame_start + k * subfr_length:
+                  frame_start + (k + 1) * subfr_length]
+        e_seg = float(np.dot(seg, seg)) + 1.0
+        for li, lag in enumerate(range(min_lag, max_lag + 1)):
+            past = res[frame_start + k * subfr_length - lag:
+                       frame_start + (k + 1) * subfr_length - lag]
+            xy = float(np.dot(seg, past))
+            yy = float(np.dot(past, past)) + 1.0
+            corr[k, li] = xy / math.sqrt(e_seg * yy) if xy > 0 else 0.0
+
+    best = (-1.0, 0, 0)
+    for base in range(min_lag, max_lag + 1):
+        for ci in range(nb_cbk):
+            score = 0.0
+            ok = True
+            for k in range(nb_subfr):
+                lag = base + cb[k][ci]
+                lag = min(max(lag, min_lag), max_lag)
+                score += corr[k, lag - min_lag]
+            # light bias towards contour 0 / continuity with prev lag
+            score /= nb_subfr
+            if prev_lag > 0 and abs(base - prev_lag) <= 2:
+                score += 0.02
+            if score > best[0]:
+                best = (score, base, ci)
+    score, base, ci = best
+    if score < thrhld:
+        return False, 0, 0, [0] * nb_subfr, max(0.0, score)
+    pitch_l = [min(max(base + cb[k][ci], min_lag), max_lag)
+               for k in range(nb_subfr)]
+    return True, base - min_lag, ci, pitch_l, score
+
+
+def find_ltp(res, pitch_l, subfr_length, nb_subfr, frame_start):
+    """Returns (XX [nb,5,5], xX [nb,5]) (reference: find_LTP_FLP.c)."""
+    XX = np.zeros((nb_subfr, LTP_ORDER, LTP_ORDER))
+    xX = np.zeros((nb_subfr, LTP_ORDER))
+    for k in range(nb_subfr):
+        r0 = frame_start + k * subfr_length
+        lag_base = r0 - (pitch_l[k] + LTP_ORDER // 2)
+        # design matrix: column i is res[lag_base+i : lag_base+i+sublen]?
+        # reference corrMatrix over vector starting at lag_ptr with order 5:
+        # X[i][j] = corr of delayed versions
+        segs = np.stack([res[lag_base + LTP_ORDER - 1 - i:
+                             lag_base + LTP_ORDER - 1 - i + subfr_length]
+                         for i in range(LTP_ORDER)])
+        tgt = res[r0:r0 + subfr_length]
+        XX[k] = segs @ segs.T
+        xX[k] = segs @ tgt
+        xx = float(np.dot(res[r0 - LTP_ORDER:r0 + subfr_length],
+                          res[r0 - LTP_ORDER:r0 + subfr_length]))
+        temp = 1.0 / max(xx, LTP_CORR_INV_MAX * 0.5
+                         * (XX[k][0, 0] + XX[k][4, 4]) + 1.0)
+        XX[k] *= temp
+        xX[k] *= temp
+    return XX, xX
+
+
+def quant_ltp_gains(XX, xX, subfr_length, nb_subfr, sum_log_gain_q7,
+                    mu_q10=32):
+    """Simplified LTP gain VQ: exhaustive float RD over the three codebooks
+    (reference: quant_LTP_gains.c + VQ_WMat_EC.c, fixed-point).
+    Returns (b_q14 flat list, cbk_indices, per_index, pred_gain_db,
+    new_sum_log_gain_q7)."""
+    best = None
+    for kcb in range(3):
+        cbk = np.array(T.LTP_VQ_PTRS_Q7[kcb], dtype=np.float64) / 128.0
+        rates = np.array((TD.LTP_GAIN_BITS_Q5_0, TD.LTP_GAIN_BITS_Q5_1,
+                          TD.LTP_GAIN_BITS_Q5_2)[kcb], dtype=np.float64) / 32.0
+        total_rd = 0.0
+        idxs = []
+        for j in range(nb_subfr):
+            # rd = b'XXb - 2 xX'b + mu*rate
+            quad = np.einsum('vi,ij,vj->v', cbk, XX[j], cbk)
+            lin = cbk @ xX[j]
+            rd = quad - 2 * lin + (mu_q10 / 1024.0) * rates
+            ii = int(np.argmin(rd))
+            idxs.append(ii)
+            total_rd += float(rd[ii])
+        # small rate cost for the codebook choice itself
+        total_rd += (mu_q10 / 1024.0) * [1.0, 2.0, 3.0][kcb]
+        if best is None or total_rd < best[0]:
+            best = (total_rd, kcb, idxs)
+    _, kcb, idxs = best
+    b_q14 = []
+    for j in range(nb_subfr):
+        row = T.LTP_VQ_PTRS_Q7[kcb][idxs[j]]
+        b_q14.extend([v << 7 for v in row])
+    # prediction gain estimate (for LTP scale ctrl / gain processing)
+    num = 0.0
+    den = 0.0
+    for j in range(nb_subfr):
+        b = np.array(T.LTP_VQ_PTRS_Q7[kcb][idxs[j]], dtype=np.float64) / 128.0
+        num += float(b @ xX[j])
+        den += 1.0
+    pred_gain_db = 3.0 * max(0.0, num)  # coarse; used for soft decisions only
+    return b_q14, idxs, kcb, pred_gain_db, sum_log_gain_q7
+
+
+def ltp_analysis_filter(x, x_base, b_q14, pitch_l, inv_gains, subfr_length,
+                        nb_subfr, pre_length):
+    """(reference: LTP_analysis_filter_FLP.c).  x indexed from x_base -
+    pre_length - max_lag; returns LPC input with prepended samples."""
+    out = np.zeros(nb_subfr * (subfr_length + pre_length))
+    for k in range(nb_subfr):
+        base = x_base + k * subfr_length
+        btmp = np.array(b_q14[k * LTP_ORDER:(k + 1) * LTP_ORDER],
+                        dtype=np.float64) / 16384.0
+        seg = x[base - pre_length:base + subfr_length].copy()
+        lag = pitch_l[k]
+        for i in range(len(seg)):
+            t = base - pre_length + i
+            pred = 0.0
+            for j in range(LTP_ORDER):
+                pred += btmp[j] * x[t - lag + LTP_ORDER // 2 - j]
+            seg[i] -= pred
+        out[k * (subfr_length + pre_length):
+            (k + 1) * (subfr_length + pre_length)] = seg * inv_gains[k]
+    return out
+
+
+def residual_energy(x_pre, pred_coef, gains, subfr_length, nb_subfr, order):
+    """(reference: residual_energy_FLP.c).  Returns per-subframe energies."""
+    nrgs = np.zeros(nb_subfr)
+    shift = order + subfr_length
+    for k in range(0, nb_subfr, 2):
+        seg = x_pre[k * shift:k * shift + 2 * shift]
+        lpc_res = lpc_analysis_filter_flp(seg, pred_coef[k >> 1], order)
+        nrgs[k] = (gains[k] ** 2) * float(
+            np.dot(lpc_res[order:order + subfr_length],
+                   lpc_res[order:order + subfr_length]))
+        if k + 1 < nb_subfr:
+            seg2 = lpc_res[shift + order:shift + order + subfr_length]
+            nrgs[k + 1] = (gains[k + 1] ** 2) * float(np.dot(seg2, seg2))
+    return nrgs
+
+
+def simple_vad(state, frame):
+    """Simplified VAD producing speech_activity_Q8, tilt and band quality
+    (the reference's silk_VAD_GetSA_Q8 is a 4-band fixed-point SNR tracker;
+    this float version keeps the same outputs/ranges)."""
+    fs = state.fs_kHz * 1000
+    x = frame.astype(np.float64)
+    energy = float(np.dot(x, x)) / max(1, len(x))
+    # split in two halves of the spectrum with a simple 1-pole
+    lp = np.empty_like(x)
+    acc = state.vad_lp_state
+    c = 0.25
+    for i in range(len(x)):
+        acc += c * (x[i] - acc)
+        lp[i] = acc
+    state.vad_lp_state = acc
+    hp = x - lp
+    e_lp = float(np.dot(lp, lp)) / max(1, len(x))
+    e_hp = float(np.dot(hp, hp)) / max(1, len(x))
+    # track noise floor
+    if state.vad_noise_level is None:
+        state.vad_noise_level = energy + 1.0
+    nl = state.vad_noise_level
+    if energy < nl:
+        state.vad_noise_level = 0.8 * nl + 0.2 * energy + 1e-9
+    else:
+        state.vad_noise_level = min(nl * 1.02 + 1e-9, nl + 0.05 * energy + 1e-9)
+    snr = 10.0 * math.log10((energy + 1.0) / (state.vad_noise_level + 1.0))
+    activity = sigmoid(0.5 * (snr - 4.0))
+    speech_activity_q8 = int(max(0, min(255, round(activity * 256))))
+    tilt = (e_lp - e_hp) / (e_lp + e_hp + 1.0)
+    input_tilt_q15 = int(max(-32768, min(32767, round(tilt * 32768 / 2))))
+    q = sigmoid(0.25 * (snr - 8.0))
+    quality_q15 = int(max(0, min(32767, round(q * 32768))))
+    return speech_activity_q8, input_tilt_q15, [quality_q15] * 4

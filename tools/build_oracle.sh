@@ -50,8 +50,14 @@ gcc -O2 -fPIC -shared -DHAVE_CONFIG_H=0 -DVAR_ARRAYS \
     -I"$BUILD/oracle_inc" -I"$REF/include" -I"$REF/celt" -I"$REF/silk" \
     -I"$REF/silk/fixed" -I"$REF/src" \
     "$REPO/tools/silk_oracle_shim.c" "$REPO/tools/silk_oracle_shim2.c" \
+    "$REPO/tools/silk_oracle_shim3.c" \
     -o "$BUILD/libsilk_oracle.so" \
     -L"$REPO/.ref_build_pic" -Wl,--whole-archive "$REPO/.ref_build_pic/libopus.a" \
     -Wl,--no-whole-archive -lm 2>/dev/null
+
+# Full libopus as a shared lib for ctypes end-to-end tests
+gcc -shared -o "$BUILD/libopus_full.so" \
+    -Wl,--whole-archive "$REPO/.ref_build_pic/libopus.a" \
+    -Wl,--no-whole-archive -lm
 
 echo "oracle build ok"
