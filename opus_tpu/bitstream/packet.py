@@ -135,6 +135,44 @@ def gen_toc(mode: Mode, framerate: int, bandwidth: Bandwidth, channels: int) -> 
     return toc
 
 
+def packet_pad(data: bytes, new_len: int) -> bytes:
+    """Pad a packet to new_len bytes by converting to code-3 framing with
+    a padding block (reference: opus_packet_pad src/repacketizer.c:423 via
+    opus_packet_pad_impl :339).  Zero-filled padding; extension payloads
+    can be carried by padding in a follow-up."""
+    if new_len < len(data):
+        raise ValueError("cannot shrink packet")
+    if new_len == len(data):
+        return data
+    parsed = packet_parse(data)
+    if isinstance(parsed, int):
+        raise ValueError("invalid packet")
+    toc = (data[0] & 0xFC) | 0x03
+    count = parsed.count
+    frames = parsed.frames
+    cbr = all(len(f) == len(frames[-1]) for f in frames)
+    body = b"".join(frames)
+    # frame-count byte: |p|v|count|
+    vbr = 0 if cbr else 1
+    sizes = b"" if cbr else b"".join(encode_size(len(f))
+                                     for f in frames[:-1])
+    base_len = 2 + len(sizes) + len(body)  # toc + count byte + frames
+    extra = new_len - base_len
+    if extra < 0:
+        raise ValueError("target too small for code-3 framing")
+    if extra == 0:
+        return bytes([toc, (vbr << 7) | count]) + sizes + body
+    # padding length chain: each 255 byte contributes itself + 254 zeros,
+    # the final byte r contributes itself + r zeros
+    total = extra  # bytes available for the length chain + zeros
+    n255 = (total - 1) // 255
+    r = (total - 1) % 255
+    chain = bytes([255] * n255 + [r])
+    zeros = bytes(total - len(chain))
+    return bytes([toc, 0x40 | (vbr << 7) | count]) + chain + sizes \
+        + body + zeros
+
+
 @dataclass
 class ParsedPacket:
     toc: int

@@ -177,7 +177,9 @@ def tone_lpc(x, length, delay):
     R02 = 2 * r02
     R12 = r12 + r01
     den = R00 * R11 - R01 * R01
-    if den < .001 * R00 * R11:
+    if den <= 0 or den < .001 * R00 * R11:
+        # includes the all-zero-signal case (den == R00*R11 == 0), where the
+        # reference's float division yields NaN and no tone is detected
         return None
     lpc1 = (R02 * R11 - R01 * R12) / den
     lpc1 = max(-1.0, min(1.0, lpc1))

@@ -88,10 +88,28 @@ class OpusDecoder:
         self.last_packet_duration = self.frame_size * len(frames)
         return np.concatenate(out) if out else np.zeros(0)
 
+    def _smooth_fade(self, in1, in2, out, overlap):
+        """(reference: smooth_fade src/opus_decoder.c:220): crossfade with
+        the squared CELT window."""
+        from ..ops.mdct import _window
+        ch = self.channels
+        inc = 48000 // self.fs
+        w = _window(self.celt.mode.overlap)[::1]
+        for c in range(ch):
+            for i in range(overlap):
+                g = w[i * inc] * w[i * inc]
+                out[i * ch + c] = g * in2[i * ch + c] \
+                    + (1 - g) * in1[i * ch + c]
+
     def _decode_frame(self, frame: bytes | None, pcm: np.ndarray,
                       frame_size: int):
         """(reference: opus_decode_frame src/opus_decoder.c:271)"""
         c = self.celt
+        f20 = self.fs // 50
+        f10 = f20 >> 1
+        f5 = f10 >> 1
+        f2_5 = f5 >> 1
+        ch = self.channels
         if frame is None:
             mode = pkt.Mode.CELT_ONLY if self.prev_redundancy else self.prev_mode
             if mode == pkt.Mode.CELT_ONLY:
@@ -112,6 +130,20 @@ class OpusDecoder:
         dec = RangeDecoder(frame)
         length = len(frame)
         audiosize = frame_size
+
+        # mode-transition detection (reference :375-392)
+        transition = 0
+        pcm_transition = None
+        if self.prev_mode > 0 and (
+                (mode == pkt.Mode.CELT_ONLY
+                 and self.prev_mode != pkt.Mode.CELT_ONLY
+                 and not self.prev_redundancy)
+                or (mode != pkt.Mode.CELT_ONLY
+                    and self.prev_mode == pkt.Mode.CELT_ONLY)):
+            transition = 1
+            if mode == pkt.Mode.CELT_ONLY:
+                pcm_transition = np.zeros(f5 * ch)
+                self._decode_frame(None, pcm_transition, min(f5, audiosize))
 
         # ---- SILK half ----
         if mode != pkt.Mode.CELT_ONLY:
@@ -164,6 +196,12 @@ class OpusDecoder:
 
         start_band = 0 if mode == pkt.Mode.CELT_ONLY else 17
 
+        if redundancy:
+            transition = 0
+        if transition and mode != pkt.Mode.CELT_ONLY:
+            pcm_transition = np.zeros(f5 * ch)
+            self._decode_frame(None, pcm_transition, min(f5, audiosize))
+
         endband = {pkt.Bandwidth.NARROWBAND: 13,
                    pkt.Bandwidth.MEDIUMBAND: 17,
                    pkt.Bandwidth.WIDEBAND: 17,
@@ -173,20 +211,22 @@ class OpusDecoder:
         c.stream_channels = self.stream_channels
 
         redundant_rng = 0
-        f5 = self.fs // 200
+        red_pcm = None
+        red_data = frame[length:length + redundancy_bytes] \
+            if redundancy else b""
+
+        # 5 ms redundant frame for CELT->SILK (reference :579-590)
         if redundancy and celt_to_silk:
             c.start = 0
-            red_pcm = np.zeros(f5 * self.channels)
-            c.decode_with_ec(frame[length:length + redundancy_bytes],
-                             red_pcm, f5,
-                             RangeDecoder(frame[length:length
-                                                + redundancy_bytes]))
+            red_pcm = np.zeros(f5 * ch)
+            c.decode_with_ec(red_data, red_pcm, f5,
+                             RangeDecoder(red_data))
             redundant_rng = c.rng
 
         c.start = start_band
 
         if mode != pkt.Mode.SILK_ONLY:
-            celt_frame_size = min(self.fs // 50, audiosize)
+            celt_frame_size = min(f20, audiosize)
             if mode != self.prev_mode and self.prev_mode > 0 \
                     and not self.prev_redundancy:
                 c.reset()
@@ -196,21 +236,45 @@ class OpusDecoder:
                 raise RuntimeError(f"celt decode failed ({ret})")
             self.rangeFinal = c.rng
         else:
+            # For hybrid -> SILK transitions, let the CELT MDCT fade out by
+            # decoding a silence frame (reference :617-627)
+            if self.prev_mode == pkt.Mode.HYBRID and not (
+                    redundancy and celt_to_silk and self.prev_redundancy):
+                c.start = 0
+                sil = np.zeros(f2_5 * ch)
+                c.decode_with_ec(b"\xff\xff", sil, f2_5, None, accum=False)
+                pcm[:f2_5 * ch] += sil
             self.rangeFinal = dec.rng
 
+        # 5 ms redundant frame for SILK->CELT (reference :637-646)
         if redundancy and not celt_to_silk:
             c.reset()
             c.start = 0
-            red_pcm = np.zeros(f5 * self.channels)
-            c.decode_with_ec(frame[length:length + redundancy_bytes],
-                             red_pcm, f5,
-                             RangeDecoder(frame[length:length
-                                                + redundancy_bytes]))
+            red_pcm = np.zeros(f5 * ch)
+            c.decode_with_ec(red_data, red_pcm, f5, RangeDecoder(red_data))
             redundant_rng = c.rng
-            # smooth_fade of the tail (simplified: replace the last 2.5 ms)
-            f2_5 = f5 // 2
-            pcm[(audiosize - f2_5) * self.channels:] = \
-                red_pcm[f2_5 * self.channels:f5 * self.channels]
+            base = (audiosize - f2_5) * ch
+            self._smooth_fade(pcm[base:].copy(), red_pcm[f2_5 * ch:],
+                              pcm[base:], f2_5)
+        # CELT->SILK: splice redundant audio at the frame start
+        # (reference :650-659)
+        if redundancy and celt_to_silk and (
+                self.prev_mode != pkt.Mode.SILK_ONLY or self.prev_redundancy):
+            pcm[:f2_5 * ch] = red_pcm[:f2_5 * ch]
+            self._smooth_fade(red_pcm[f2_5 * ch:f5 * ch],
+                              pcm[f2_5 * ch:f5 * ch].copy(),
+                              pcm[f2_5 * ch:f5 * ch], f2_5)
+        # mode-transition crossfade at frame start (reference :661-678)
+        if transition and pcm_transition is not None:
+            if audiosize >= f5:
+                pcm[:ch * f2_5] = pcm_transition[:ch * f2_5]
+                self._smooth_fade(pcm_transition[ch * f2_5:ch * f5],
+                                  pcm[ch * f2_5:ch * f5].copy(),
+                                  pcm[ch * f2_5:ch * f5], f2_5)
+            else:
+                self._smooth_fade(pcm_transition[:ch * f2_5],
+                                  pcm[:ch * f2_5].copy(),
+                                  pcm[:ch * f2_5], f2_5)
 
         self.rangeFinal ^= redundant_rng
         self.prev_mode = mode

@@ -1,80 +1,812 @@
 """Top-level Opus encoder (reference: src/opus_encoder.c).
 
-Round 1 scope: the CELT-only path (restricted-lowdelay application
-equivalent) with CBR/VBR/CVBR.  SILK and hybrid encode, mode/bandwidth
-decision machinery, DTX and redundancy land next.
+Implements the mode/bandwidth decision machine (opus_encode_native
+src/opus_encoder.c:1182), the HP prefilters (hp_cutoff :441 /
+dc_reject :509), the SILK/CELT orchestration with hybrid glue and
+mode-transition redundancy frames (opus_encode_frame_native :1855),
+DTX, and CBR padding.
+
+Scope notes vs the reference: SILK stereo (stereo prediction coding)
+is not wired yet, so stereo inputs currently use CELT for the music
+path and mid-downmix for speech; LBRR/FEC and DRED land with the DNN
+stack.
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ..bitstream import packet as pkt
-from ..bitstream.range_coder import RangeEncoder
+from ..bitstream.range_coder import RangeEncoder, ec_tell
 from ..celt.encoder import CeltEncoder, OPUS_BITRATE_MAX
+from ..silk.encoder import SilkEncoder
+from ..silk import tables as ST
+from ..silk.macros import (SMLAWB, SMULWB, SMULBB, lin2log, log2lin,
+                           SILK_FIX_CONST)
+
+# (reference: silk/tuning_parameters.h:62-68)
+VARIABLE_HP_SMTH_COEF1 = 0.1
+VARIABLE_HP_SMTH_COEF2 = 0.015
+VARIABLE_HP_MAX_DELTA_FREQ = 0.4
+VARIABLE_HP_MIN_CUTOFF_HZ = 60
+VARIABLE_HP_MAX_CUTOFF_HZ = 100
+
+MODE_SILK_ONLY = pkt.Mode.SILK_ONLY
+MODE_HYBRID = pkt.Mode.HYBRID
+MODE_CELT_ONLY = pkt.Mode.CELT_ONLY
+
+BW_NB = pkt.Bandwidth.NARROWBAND
+BW_MB = pkt.Bandwidth.MEDIUMBAND
+BW_WB = pkt.Bandwidth.WIDEBAND
+BW_SWB = pkt.Bandwidth.SUPERWIDEBAND
+BW_FB = pkt.Bandwidth.FULLBAND
+
+_ENDBAND = {BW_NB: 13, BW_MB: 17, BW_WB: 17, BW_SWB: 19, BW_FB: 21}
+
+# (reference: src/opus_encoder.c:146-190)
+MONO_VOICE_BW_THRESHOLDS = (9000, 700, 9000, 700, 13500, 1000, 14000, 2000)
+MONO_MUSIC_BW_THRESHOLDS = (9000, 700, 9000, 700, 11000, 1000, 12000, 2000)
+STEREO_VOICE_BW_THRESHOLDS = (9000, 700, 9000, 700, 13500, 1000, 14000, 2000)
+STEREO_MUSIC_BW_THRESHOLDS = (9000, 700, 9000, 700, 11000, 1000, 12000, 2000)
+STEREO_VOICE_THRESHOLD = 19000
+STEREO_MUSIC_THRESHOLD = 17000
+MODE_THRESHOLDS = ((64000, 10000), (44000, 10000))  # [mono/stereo][voice/music]
+
+_BW_ORDER = [BW_NB, BW_MB, BW_WB, BW_SWB, BW_FB]
+
+
+def bitrate_to_bits(bitrate, fs, frame_size):
+    return bitrate * frame_size // fs
+
+
+def bits_to_bitrate(bits, fs, frame_size):
+    return bits * fs // frame_size
+
+
+def compute_equiv_rate(bitrate, channels, frame_rate, vbr, mode, complexity,
+                       loss):
+    """(reference: compute_equiv_rate src/opus_encoder.c:1027)"""
+    equiv = bitrate
+    if frame_rate > 50:
+        equiv -= (40 * channels + 20) * (frame_rate - 50)
+    if not vbr:
+        equiv -= equiv // 12
+    equiv = equiv * (90 + complexity) // 100
+    if mode in (MODE_SILK_ONLY, MODE_HYBRID):
+        if complexity < 2:
+            equiv = equiv * 4 // 5
+        equiv -= equiv * loss // (6 * loss + 10)
+    elif mode == MODE_CELT_ONLY:
+        if complexity < 5:
+            equiv = equiv * 9 // 10
+    else:
+        equiv -= equiv * loss // (12 * loss + 20)
+    return equiv
+
+
+def compute_silk_rate_for_hybrid(rate, bandwidth, frame20ms, vbr, fec,
+                                 channels):
+    """(reference: compute_silk_rate_for_hybrid src/opus_encoder.c:973)"""
+    table = ((0, 0, 0, 0, 0),
+             (12000, 10000, 10000, 11000, 11000),
+             (16000, 13500, 13500, 15000, 15000),
+             (20000, 16000, 16000, 18000, 18000),
+             (24000, 18000, 18000, 21000, 21000),
+             (32000, 22000, 22000, 28000, 28000),
+             (64000, 38000, 38000, 50000, 50000))
+    rate //= channels
+    entry = 1 + int(frame20ms) + 2 * int(fec)
+    n = len(table)
+    i = 1
+    while i < n and table[i][0] <= rate:
+        i += 1
+    if i == n:
+        silk_rate = table[-1][entry] + (rate - table[-1][0]) // 2
+    else:
+        lo, hi = table[i - 1][entry], table[i][entry]
+        x0, x1 = table[i - 1][0], table[i][0]
+        silk_rate = (lo * (x1 - rate) + hi * (rate - x0)) // (x1 - x0)
+    if not vbr:
+        silk_rate += 100
+    if bandwidth == BW_SWB:
+        silk_rate += 300
+    silk_rate *= channels
+    if channels == 2 and rate >= 12000:
+        silk_rate -= 1000
+    return silk_rate
+
+
+def compute_redundancy_bytes(max_data_bytes, bitrate_bps, frame_rate,
+                             channels):
+    """(reference: compute_redundancy_bytes src/opus_encoder.c:1142)"""
+    base_bits = 40 * channels + 20
+    redundancy_rate = bitrate_bps + base_bits * (200 - frame_rate)
+    redundancy_rate = 3 * redundancy_rate // 2
+    redundancy_bytes = redundancy_rate // 1600
+    available_bits = max_data_bytes * 8 - 2 * base_bits
+    cap = (available_bits * 240 // (240 + 48000 // frame_rate)
+           + base_bits) // 8
+    redundancy_bytes = min(redundancy_bytes, cap)
+    if redundancy_bytes > 4 + 8 * channels:
+        return min(257, redundancy_bytes)
+    return 0
+
+
+def hp_cutoff(x, cutoff_hz, hp_mem, fs, channels):
+    """Variable 2nd-order HP (reference: hp_cutoff src/opus_encoder.c:441).
+    x: float [-1,1]-domain interleaved; filter runs in int16-scaled float
+    like the reference float build.  Returns filtered array."""
+    fc = 1.5 * 3.14159 * cutoff_hz / fs
+    r = 1.0 - 0.92 * fc
+    b0, b1, b2 = r, -2.0 * r, r
+    a1 = r * (fc * fc - 2.0)     # feedback coefs of 1 + a1 z^-1 + a2 z^-2
+    a2 = r * r
+    out = np.empty_like(x)
+    for c in range(channels):
+        s0, s1 = hp_mem[2 * c], hp_mem[2 * c + 1]
+        xc = x[c::channels]
+        yc = out[c::channels]
+        for i in range(len(xc)):
+            xi = xc[i]
+            y = b0 * xi + s0
+            s0 = s1 + b1 * xi - a1 * y
+            s1 = b2 * xi - a2 * y
+            yc[i] = y
+        hp_mem[2 * c], hp_mem[2 * c + 1] = s0, s1
+    return out
+
+
+def dc_reject(x, cutoff_hz, hp_mem, fs, channels):
+    """1st-order DC reject (reference: dc_reject src/opus_encoder.c:509,
+    float build)."""
+    coef = 6.3 * cutoff_hz / fs
+    coef2 = 1 - coef
+    out = np.empty_like(x)
+    for c in range(channels):
+        m = hp_mem[2 * c]
+        xc = x[c::channels]
+        # y[i] = x[i] - m[i];  m[i+1] = coef*x[i] + coef2*m[i]
+        # the recursion on m is a 1-pole IIR -> compute via lfilter-style scan
+        yc = np.empty_like(xc)
+        for i in range(len(xc)):
+            yc[i] = xc[i] - m
+            m = coef * xc[i] + 1e-30 + coef2 * m
+        out[c::channels] = yc
+        hp_mem[2 * c] = m
+    return out
+
+
+def is_digital_silence(pcm, lsb_depth=16):
+    """(reference: is_digital_silence src/opus_encoder.c:1060)"""
+    if len(pcm) == 0:
+        return True
+    return float(np.max(np.abs(pcm))) <= 2 ** (-lsb_depth + 1)
 
 
 class OpusEncoder:
-    def __init__(self, fs: int, channels: int,
-                 application: str = "restricted-lowdelay"):
+    """(reference: opus_encoder_init src/opus_encoder.c:204)"""
+
+    APPLICATIONS = ("voip", "audio", "restricted-lowdelay")
+
+    def __init__(self, fs: int, channels: int, application: str = "audio"):
         if fs not in (8000, 12000, 16000, 24000, 48000):
             raise ValueError("bad sample rate")
+        if channels not in (1, 2):
+            raise ValueError("bad channel count")
+        if application not in self.APPLICATIONS:
+            raise ValueError("bad application")
         self.fs = fs
         self.channels = channels
         self.application = application
         self.celt = CeltEncoder.create(fs, channels)
-        self.bitrate = 64000 * channels
+        self.silk = SilkEncoder()
+        self.bitrate = None  # auto
         self.vbr = 1
         self.constrained_vbr = 1
         self.complexity = 9
-        self.bandwidth = pkt.Bandwidth.FULLBAND
-        self.mode = pkt.Mode.CELT_ONLY
-        # delay compensation buffer (Fs/250 lookahead like the reference's
-        # total_buffer) -- restricted-lowdelay uses no extra delay
-        self.max_payload = 1276
+        self.packet_loss_perc = 0
+        self.use_dtx = 0
+        self.force_channels = 0     # OPUS_AUTO
+        self.user_bandwidth = None  # auto
+        self.max_bandwidth = BW_FB
+        self.user_forced_mode = None
+        self.signal_type = None     # None=auto, 'voice', 'music'
+        self.lsb_depth = 16
 
-    def set_bitrate(self, bitrate: int):
+        # state (reference: opus_encoder_init)
+        self.delay_compensation = fs // 250
+        self.encoder_buffer = fs // 100
+        self.delay_buffer = np.zeros(self.encoder_buffer * channels)
+        self.hp_mem = np.zeros(4)
+        self.variable_HP_smth2_Q15 = lin2log(VARIABLE_HP_MIN_CUTOFF_HZ) << 8
+        self.prev_mode = 0
+        self.prev_channels = channels
+        self.prev_framesize = 0
+        self.first = 1
+        self.auto_bandwidth = BW_FB
+        self.bandwidth = BW_FB
+        self.silk_bw_switch = 0
+        self.prev_HB_gain = 1.0
+        self.hybrid_stereo_width_Q14 = 1 << 14
+        self.nb_no_activity_ms_Q1 = 0
+        self.rangeFinal = 0
+        self.nonfinal_frame = 0
+        self.peak_signal_energy = 0.0
+
+    # -- ctl-style setters ------------------------------------------------
+    def set_bitrate(self, bitrate):
         self.bitrate = bitrate
 
-    def set_vbr(self, vbr: bool, constrained: bool = True):
+    def set_vbr(self, vbr, constrained=True):
         self.vbr = 1 if vbr else 0
         self.constrained_vbr = 1 if constrained else 0
 
-    def encode(self, pcm: np.ndarray, frame_size: int) -> bytes:
-        """pcm: float interleaved [-1,1], frame_size samples/channel.
-        Returns the packet."""
-        if self.mode != pkt.Mode.CELT_ONLY:
-            raise NotImplementedError("SILK/hybrid encode lands next round")
-        celt = self.celt
-        celt.complexity = self.complexity
-        celt.bitrate = self.bitrate
-        celt.vbr = self.vbr
-        celt.constrained_vbr = self.constrained_vbr
+    def set_complexity(self, c):
+        self.complexity = max(0, min(10, c))
 
-        # endband from bandwidth
-        endband = {pkt.Bandwidth.NARROWBAND: 13,
-                   pkt.Bandwidth.MEDIUMBAND: 17,
-                   pkt.Bandwidth.WIDEBAND: 17,
-                   pkt.Bandwidth.SUPERWIDEBAND: 19,
-                   pkt.Bandwidth.FULLBAND: 21}[self.bandwidth]
-        celt.end = endband
-        celt.start = 0
+    def set_bandwidth(self, bw):
+        self.user_bandwidth = bw
 
-        frame_rate = self.fs // frame_size
-        max_data = self.max_payload
+    def set_force_mode(self, mode):
+        self.user_forced_mode = mode
+
+    def _default_bitrate(self, frame_size):
+        # (reference: user_bitrate_to_bitrate, OPUS_AUTO case)
+        return 60 * self.fs // frame_size + self.fs * self.channels
+
+    # -- main entry -------------------------------------------------------
+    def encode(self, pcm: np.ndarray, frame_size: int,
+               max_data_bytes: int = 1276) -> bytes:
+        """pcm: float interleaved [-1,1], frame_size samples per channel.
+        Returns the Opus packet (b'' when DTX suppresses the frame)."""
+        pcm = np.asarray(pcm, dtype=np.float64).reshape(-1)
+        if len(pcm) != frame_size * self.channels:
+            raise ValueError("pcm length mismatch")
+        ms = 1000 * frame_size // self.fs
+        if frame_size * 400 not in (self.fs * 1, self.fs * 2, self.fs * 4,
+                                    self.fs * 8, self.fs * 16, self.fs * 24):
+            raise ValueError(f"unsupported frame size {frame_size}")
+        if ms > 20 and self.user_forced_mode != MODE_CELT_ONLY:
+            # 40/60 ms: SILK-only multiframe packets
+            return self._encode_long(pcm, frame_size, max_data_bytes)
+        return self._encode_frame(pcm, frame_size, max_data_bytes)
+
+    def _encode_long(self, pcm, frame_size, max_data_bytes):
+        """40/60 ms frames: force SILK-only (CELT max frame is 20 ms).
+        Single code-0 packet via SILK's internal multiframe support."""
+        self.user_forced_mode_saved = self.user_forced_mode
+        # encode as SILK-only single packet with n internal 20 ms frames
+        return self._encode_frame(pcm, frame_size, max_data_bytes,
+                                  force_silk=True)
+
+    # -- the frame encoder ------------------------------------------------
+    def _encode_frame(self, pcm, frame_size, max_data_bytes,
+                      force_silk=False):
+        fs = self.fs
+        channels = self.channels
+        frame_rate = fs // frame_size
+        max_data_bytes = min(max_data_bytes, 1276)
+        bitrate = self.bitrate or self._default_bitrate(frame_size)
+        bitrate = max(500, min(300000 * channels, bitrate))
         if not self.vbr:
-            # CBR: fixed packet size from bitrate
-            cbr_bytes = min(max_data,
-                            (self.bitrate * frame_size
-                             + 4 * self.fs) // (8 * self.fs))
-            max_data = cbr_bytes
-        nb_compressed = max_data - 1
+            # CBR: the packet size IS the byte budget (reference
+            # opus_encode_native src/opus_encoder.c:~1240)
+            cbr_bytes = min((bitrate + 4 * frame_rate) // (8 * frame_rate),
+                            max_data_bytes)
+            bitrate = cbr_bytes * 8 * frame_rate
+            max_data_bytes = cbr_bytes
+        max_rate = (frame_rate * max_data_bytes * 8 if not self.vbr
+                    else bitrate)
 
-        enc = RangeEncoder(nb_compressed)
-        ret = celt.encode_with_ec(pcm, frame_size, nb_compressed, enc)
-        if ret < 0:
-            raise RuntimeError(f"celt encode failed ({ret})")
-        self.rangeFinal = celt.rng
-        toc = pkt.gen_toc(pkt.Mode.CELT_ONLY, frame_rate, self.bandwidth,
-                          self.channels)
-        return bytes([toc]) + bytes(enc.buf[:ret])
+        silence = is_digital_silence(pcm, self.lsb_depth)
+
+        # voice estimate (no analysis GRU yet; reference fallback logic
+        # src/opus_encoder.c:1412-1426)
+        if self.signal_type == "voice":
+            voice_est = 127
+        elif self.signal_type == "music":
+            voice_est = 0
+        elif self.application == "voip":
+            voice_est = 115
+        else:
+            voice_est = 48
+
+        stream_channels = self.channels
+        if channels == 2 and self.force_channels != 2:
+            stereo_threshold = STEREO_MUSIC_THRESHOLD + (
+                (voice_est * voice_est
+                 * (STEREO_VOICE_THRESHOLD - STEREO_MUSIC_THRESHOLD)) >> 14)
+            equiv0 = compute_equiv_rate(bitrate, channels, frame_rate,
+                                        self.vbr, 0, self.complexity,
+                                        self.packet_loss_perc)
+            stream_channels = 2 if equiv0 > stereo_threshold else 1
+            # SILK stereo coding not wired yet: keep 2ch only for CELT
+        equiv_rate = compute_equiv_rate(bitrate, stream_channels, frame_rate,
+                                        self.vbr, 0, self.complexity,
+                                        self.packet_loss_perc)
+
+        # ---- mode decision (reference :1466-1527) ----
+        if force_silk:
+            mode = MODE_SILK_ONLY
+        elif self.application == "restricted-lowdelay":
+            mode = MODE_CELT_ONLY
+        elif self.user_forced_mode is not None:
+            mode = self.user_forced_mode
+        else:
+            stereo_width = 0.0 if stream_channels == 1 else 1.0
+            mode_voice = int((1 - stereo_width) * MODE_THRESHOLDS[0][0]
+                             + stereo_width * MODE_THRESHOLDS[1][0])
+            mode_music = int((1 - stereo_width) * MODE_THRESHOLDS[1][1]
+                             + stereo_width * MODE_THRESHOLDS[1][1])
+            threshold = mode_music + (
+                (voice_est * voice_est * (mode_voice - mode_music)) >> 14)
+            if self.application == "voip":
+                threshold += 8000
+            if self.prev_mode == MODE_CELT_ONLY:
+                threshold -= 4000
+            elif self.prev_mode > 0:
+                threshold += 4000
+            mode = MODE_CELT_ONLY if equiv_rate >= threshold \
+                else MODE_SILK_ONLY
+            if max_data_bytes < bitrate_to_bits(
+                    9000 if frame_rate > 50 else 6000, fs, frame_size) // 8:
+                mode = MODE_CELT_ONLY
+
+        if mode != MODE_CELT_ONLY and frame_size < fs // 100:
+            mode = MODE_CELT_ONLY
+        # SILK stereo not wired: route stereo speech through CELT for now
+        if stream_channels == 2 and mode != MODE_CELT_ONLY and not force_silk:
+            mode = MODE_CELT_ONLY
+
+        # mode-transition redundancy (reference :1542-1559)
+        redundancy = 0
+        celt_to_silk = 0
+        to_celt = 0
+        prefill = 0
+        if self.prev_mode > 0 and (
+                (mode != MODE_CELT_ONLY and self.prev_mode == MODE_CELT_ONLY)
+                or (mode == MODE_CELT_ONLY
+                    and self.prev_mode != MODE_CELT_ONLY)):
+            redundancy = 1
+            celt_to_silk = int(mode != MODE_CELT_ONLY)
+            if not celt_to_silk:
+                if frame_size >= fs // 100:
+                    mode = self.prev_mode
+                    to_celt = 1
+                else:
+                    redundancy = 0
+
+        equiv_rate = compute_equiv_rate(bitrate, stream_channels, frame_rate,
+                                        self.vbr, mode, self.complexity,
+                                        self.packet_loss_perc)
+        if mode != MODE_CELT_ONLY and self.prev_mode == MODE_CELT_ONLY:
+            self.silk = SilkEncoder()    # fresh state like silk_InitEncoder
+            prefill = 1
+
+        # ---- bandwidth decision (reference :1575-1656) ----
+        if mode == MODE_CELT_ONLY or self.first or True:
+            if channels == 2 and self.force_channels != 1:
+                voice_bw = STEREO_VOICE_BW_THRESHOLDS
+                music_bw = STEREO_MUSIC_BW_THRESHOLDS
+            else:
+                voice_bw = MONO_VOICE_BW_THRESHOLDS
+                music_bw = MONO_MUSIC_BW_THRESHOLDS
+            thr = [music_bw[i] + ((voice_est * voice_est
+                                   * (voice_bw[i] - music_bw[i])) >> 14)
+                   for i in range(8)]
+            bw_idx = 4  # FB
+            while bw_idx > 0:
+                threshold = thr[2 * (bw_idx - 1)]
+                hysteresis = thr[2 * (bw_idx - 1) + 1]
+                if not self.first:
+                    if _BW_ORDER.index(self.auto_bandwidth) >= bw_idx:
+                        threshold -= hysteresis
+                    else:
+                        threshold += hysteresis
+                if equiv_rate >= threshold:
+                    break
+                bw_idx -= 1
+            bandwidth = _BW_ORDER[bw_idx]
+            if bandwidth == BW_MB:
+                bandwidth = BW_WB
+            self.bandwidth = self.auto_bandwidth = bandwidth
+
+        if self.bandwidth > self.max_bandwidth:
+            self.bandwidth = self.max_bandwidth
+        if self.user_bandwidth is not None:
+            self.bandwidth = self.user_bandwidth
+        if mode != MODE_CELT_ONLY and max_rate < 15000:
+            self.bandwidth = min(self.bandwidth, BW_WB)
+        if fs <= 24000 and self.bandwidth > BW_SWB:
+            self.bandwidth = BW_SWB
+        if fs <= 16000 and self.bandwidth > BW_WB:
+            self.bandwidth = BW_WB
+        if fs <= 12000 and self.bandwidth > BW_MB:
+            self.bandwidth = BW_MB
+        if fs <= 8000 and self.bandwidth > BW_NB:
+            self.bandwidth = BW_NB
+        if mode == MODE_CELT_ONLY and self.bandwidth == BW_MB:
+            self.bandwidth = BW_WB
+
+        curr_bandwidth = self.bandwidth
+        if mode == MODE_SILK_ONLY and curr_bandwidth > BW_WB:
+            mode = MODE_HYBRID
+        if mode == MODE_HYBRID and curr_bandwidth <= BW_WB:
+            mode = MODE_SILK_ONLY
+        if force_silk:
+            mode = MODE_SILK_ONLY
+            curr_bandwidth = self.bandwidth = min(curr_bandwidth, BW_WB)
+
+        # hybrid/celt can't exceed 20 ms (handled by _encode_long)
+        assert not (frame_size > fs // 50 and mode != MODE_SILK_ONLY)
+
+        ret = self._encode_frame_native(
+            pcm, frame_size, max_data_bytes, bitrate, mode, curr_bandwidth,
+            stream_channels, redundancy, celt_to_silk, prefill, equiv_rate,
+            to_celt, silence, voice_est)
+        return ret
+
+    def _encode_frame_native(self, pcm, frame_size, max_data_bytes, bitrate,
+                             mode, curr_bandwidth, stream_channels,
+                             redundancy, celt_to_silk, prefill, equiv_rate,
+                             to_celt, is_silence, voice_est):
+        """(reference: opus_encode_frame_native src/opus_encoder.c:1855)"""
+        fs = self.fs
+        channels = self.channels
+        frame_rate = fs // frame_size
+        celt = self.celt
+        delay_compensation = (0 if self.application == "restricted-lowdelay"
+                              else self.delay_compensation)
+        total_buffer = delay_compensation
+
+        redundancy_bytes = 0
+        if mode == MODE_CELT_ONLY:
+            redundancy = 0
+        if redundancy:
+            redundancy_bytes = compute_redundancy_bytes(
+                max_data_bytes, bitrate, frame_rate, stream_channels)
+            if redundancy_bytes == 0:
+                redundancy = 0
+
+        bits_target = min(8 * (max_data_bytes - redundancy_bytes),
+                          bitrate_to_bits(bitrate, fs, frame_size)) - 8
+
+        enc = RangeEncoder(max_data_bytes - 1)
+
+        pcm_buf = np.zeros((total_buffer + frame_size) * channels)
+        pcm_buf[:total_buffer * channels] = self.delay_buffer[
+            (self.encoder_buffer - total_buffer) * channels:]
+
+        # variable HP cutoff smoothing (reference :1966-1986)
+        if mode == MODE_CELT_ONLY:
+            hp_freq_smth1 = lin2log(VARIABLE_HP_MIN_CUTOFF_HZ) << 8
+        else:
+            hp_freq_smth1 = self.silk.channel.variable_HP_smth1_Q15
+        self.variable_HP_smth2_Q15 = SMLAWB(
+            self.variable_HP_smth2_Q15,
+            hp_freq_smth1 - self.variable_HP_smth2_Q15,
+            SILK_FIX_CONST(VARIABLE_HP_SMTH_COEF2, 16))
+        cutoff_hz = log2lin(self.variable_HP_smth2_Q15 >> 8) >> 16
+
+        if self.application == "voip":
+            filtered = hp_cutoff(pcm, cutoff_hz, self.hp_mem, fs, channels)
+        else:
+            filtered = dc_reject(pcm, 3, self.hp_mem, fs, channels)
+        # NaN/absurd-signal guard (reference :2009-2022; float-build PCM is
+        # already in the [-1,1] domain, so the 1e9 threshold applies as-is)
+        if not np.all(np.isfinite(filtered)) \
+                or float(np.dot(filtered, filtered)) >= 1e9:
+            filtered = np.zeros_like(filtered)
+            self.hp_mem[:] = 0
+        pcm_buf[total_buffer * channels:] = filtered
+
+        # ---- SILK processing (reference :2048-2265) ----
+        HB_gain = 1.0
+        silk_internal_rate = 16000
+        silk_bytes = 0
+        activity = 1 if not is_silence else 0
+        if mode != MODE_CELT_ONLY:
+            total_bitrate = bits_to_bitrate(bits_target, fs, frame_size)
+            if mode == MODE_HYBRID:
+                silk_rate = compute_silk_rate_for_hybrid(
+                    total_bitrate, curr_bandwidth, fs == 50 * frame_size,
+                    self.vbr, 0, stream_channels)
+                celt_rate = total_bitrate - silk_rate
+                HB_gain = 1.0 - math.exp2(-celt_rate * (1.0 / 1024)) / 2.0
+            else:
+                silk_rate = total_bitrate
+
+            if curr_bandwidth == BW_NB:
+                silk_internal_rate = 8000
+            elif curr_bandwidth == BW_MB:
+                silk_internal_rate = 12000
+            else:
+                silk_internal_rate = 16000
+            if mode == MODE_SILK_ONLY:
+                eff_max = bits_to_bitrate(max_data_bytes * 8, fs, frame_size)
+                if frame_rate > 50:
+                    eff_max = eff_max * 2 // 3
+                if eff_max < 8000:
+                    silk_internal_rate = min(silk_internal_rate, 12000)
+                if eff_max < 7000:
+                    silk_internal_rate = min(silk_internal_rate, 8000)
+
+            use_cbr = not self.vbr and mode != MODE_HYBRID
+            silk_max_bits = (max_data_bytes - 1) * 8
+            if redundancy and redundancy_bytes >= 2:
+                silk_max_bits -= redundancy_bytes * 8 + 1
+                if mode == MODE_HYBRID:
+                    silk_max_bits -= 20
+            if not self.vbr and mode == MODE_HYBRID:
+                other_bits = max(
+                    0, silk_max_bits - silk_rate * frame_size // fs)
+                silk_max_bits = max(0, silk_max_bits - other_bits * 3 // 4)
+                use_cbr = False
+            elif self.vbr and mode == MODE_HYBRID:
+                max_rate_for_bits = compute_silk_rate_for_hybrid(
+                    silk_max_bits * fs // frame_size, curr_bandwidth,
+                    fs == 50 * frame_size, self.vbr, 0, stream_channels)
+                silk_max_bits = bitrate_to_bits(max_rate_for_bits, fs,
+                                                frame_size)
+
+            # mono downmix for the SILK half (SILK stereo not wired yet)
+            pcm_silk = pcm_buf[total_buffer * channels:]
+            if channels == 2:
+                pcm_silk = 0.5 * (pcm_silk[0::2] + pcm_silk[1::2])
+            pcm_silk16 = np.clip(np.round(pcm_silk * 32768.0),
+                                 -32768, 32767).astype(np.int64)
+
+            if prefill:
+                # prime SILK state with the delay buffer (faded-in), coding
+                # to a throwaway encoder (reference :2196-2214)
+                pre = self.delay_buffer.copy()
+                n400 = fs // 400
+                off = channels * (self.encoder_buffer
+                                  - delay_compensation - n400)
+                ramp = np.linspace(0.0, 1.0, n400 * channels,
+                                   endpoint=False)
+                pre[off:off + n400 * channels] *= ramp
+                pre[:off] = 0
+                pre_m = (0.5 * (pre[0::2] + pre[1::2])
+                         if channels == 2 else pre)
+                pre16 = np.clip(np.round(pre_m * 32768.0),
+                                -32768, 32767).astype(np.int64)
+                dummy = RangeEncoder(1500)
+                try:
+                    self.silk.encode(
+                        dummy, pre16, api_fs_hz=fs,
+                        internal_fs_hz=silk_internal_rate,
+                        payload_ms=1000 * len(pre16) * (1 if channels == 1
+                                                        else 1) // fs,
+                        bitrate_bps=silk_rate, max_bits=1500 * 8)
+                except Exception:
+                    pass  # prefill is best-effort state priming
+
+            payload_ms = 1000 * frame_size // fs
+            silk_bytes = self.silk.encode(
+                enc, pcm_silk16, api_fs_hz=fs,
+                internal_fs_hz=silk_internal_rate,
+                payload_ms=payload_ms, bitrate_bps=silk_rate,
+                max_bits=silk_max_bits, use_cbr=use_cbr,
+                complexity=self.complexity,
+                packet_loss_perc=self.packet_loss_perc)
+
+            if mode == MODE_SILK_ONLY:
+                curr_bandwidth = {8000: BW_NB, 12000: BW_MB,
+                                  16000: BW_WB}[silk_internal_rate]
+            activity = int(self.silk.channel.indices.signalType
+                           != ST.TYPE_NO_VOICE_ACTIVITY)
+
+        # ---- CELT setup (reference :2267-2296) ----
+        endband = _ENDBAND[curr_bandwidth]
+        celt.end = endband
+        celt.stream_channels = stream_channels
+        celt.bitrate = OPUS_BITRATE_MAX
+        celt.complexity = self.complexity
+
+        tmp_prefill = None
+        if mode != MODE_SILK_ONLY and mode != self.prev_mode \
+                and self.prev_mode > 0:
+            n400 = fs // 400
+            tmp_prefill = self.delay_buffer[
+                (self.encoder_buffer - total_buffer - n400) * channels:
+                (self.encoder_buffer - total_buffer) * channels].copy()
+
+        # update delay buffer (reference :2306-2315)
+        if self.encoder_buffer > frame_size + total_buffer:
+            keep = self.encoder_buffer - frame_size - total_buffer
+            self.delay_buffer[:keep * channels] = \
+                self.delay_buffer[frame_size * channels:
+                                  (frame_size + keep) * channels]
+            self.delay_buffer[keep * channels:] = pcm_buf[
+                :(frame_size + total_buffer) * channels]
+        else:
+            self.delay_buffer[:] = pcm_buf[
+                (frame_size + total_buffer - self.encoder_buffer)
+                * channels:]
+
+        # HB gain fade for hybrid (reference: gain_fade :2318-2323); a
+        # linear ramp over the overlap then constant, applied to the CELT
+        # input only (SILK already consumed its copy).
+        if self.prev_HB_gain < 1.0 or HB_gain < 1.0:
+            overlap = min(fs // 400, frame_size)
+            g = np.concatenate([
+                np.linspace(self.prev_HB_gain, HB_gain, overlap,
+                            endpoint=False),
+                np.full(total_buffer + frame_size - overlap, HB_gain)])
+            for c in range(channels):
+                pcm_buf[c::channels] *= g
+        self.prev_HB_gain = HB_gain
+
+        # ---- redundancy signaling (reference :2352-2377) ----
+        if mode != MODE_CELT_ONLY and ec_tell(enc) + 17 \
+                + 20 * (mode == MODE_HYBRID) <= 8 * (max_data_bytes - 1):
+            if mode == MODE_HYBRID:
+                enc.enc_bit_logp(redundancy, 12)
+            if redundancy:
+                enc.enc_bit_logp(celt_to_silk, 1)
+                if mode == MODE_HYBRID:
+                    max_redundancy = (max_data_bytes - 1) \
+                        - ((ec_tell(enc) + 8 + 3 + 7) >> 3)
+                else:
+                    max_redundancy = (max_data_bytes - 1) \
+                        - ((ec_tell(enc) + 7) >> 3)
+                redundancy_bytes = min(max_redundancy, redundancy_bytes)
+                redundancy_bytes = min(257, max(2, redundancy_bytes))
+                if mode == MODE_HYBRID:
+                    enc.enc_uint(redundancy_bytes - 2, 256)
+        else:
+            redundancy = 0
+
+        if not redundancy:
+            self.silk_bw_switch = 0
+            redundancy_bytes = 0
+        start_band = 17 if mode != MODE_CELT_ONLY else 0
+
+        if mode == MODE_SILK_ONLY:
+            ret = (ec_tell(enc) + 7) >> 3
+            enc.done()
+            nb_compr_bytes = ret
+        else:
+            nb_compr_bytes = (max_data_bytes - 1) - redundancy_bytes
+            enc.shrink(nb_compr_bytes)
+
+        if mode == MODE_HYBRID:
+            ch = self.silk.channel
+            celt.silk_info_signal_type = ch.indices.signalType
+            celt.silk_info_offset = ST.QUANTIZATION_OFFSETS_Q10[
+                ch.indices.signalType >> 1][ch.indices.quantOffsetType]
+
+        # 5 ms redundant CELT frame for CELT->SILK (reference :2425-2441)
+        redundant_rng = 0
+        red_data = b""
+        if redundancy and celt_to_silk:
+            celt.start = 0
+            celt.vbr = 0
+            celt.bitrate = OPUS_BITRATE_MAX
+            rbuf = RangeEncoder(redundancy_bytes)
+            n = celt.encode_with_ec(pcm_buf[:fs // 200 * channels],
+                                    fs // 200, redundancy_bytes, rbuf)
+            if n < 0:
+                raise RuntimeError("redundancy encode failed")
+            red_data = bytes(rbuf.buf[:redundancy_bytes])
+            redundant_rng = celt.rng
+            celt.reset()
+
+        celt.start = start_band
+
+        data = b""
+        ret_celt = None
+        if mode != MODE_SILK_ONLY:
+            celt.vbr = self.vbr
+            if mode == MODE_HYBRID:
+                if self.vbr:
+                    celt.bitrate = bitrate - silk_rate
+                    celt.constrained_vbr = 0
+            else:
+                if self.vbr:
+                    celt.vbr = 1
+                    celt.constrained_vbr = self.constrained_vbr
+                    celt.bitrate = bitrate
+
+            if mode != self.prev_mode and self.prev_mode > 0:
+                celt.reset()
+                if tmp_prefill is not None:
+                    pre_enc = RangeEncoder(2)
+                    celt.encode_with_ec(tmp_prefill, fs // 400, 2, pre_enc)
+                celt.disable_pf = 1   # CELT_SET_PREDICTION(0)
+                celt.force_intra = 1
+
+            if ec_tell(enc) <= 8 * nb_compr_bytes:
+                ret_celt = celt.encode_with_ec(
+                    pcm_buf[:frame_size * channels], frame_size,
+                    nb_compr_bytes, enc)
+                if ret_celt < 0:
+                    raise RuntimeError("celt encode failed")
+                ret = ret_celt
+            else:
+                ret = (ec_tell(enc) + 7) >> 3
+            self.rangeFinal = celt.rng
+            celt.disable_pf = 0
+            celt.force_intra = 0
+        else:
+            self.rangeFinal = enc.rng
+
+        # 5 ms redundant CELT frame for SILK->CELT (reference :2470-2500)
+        if redundancy and not celt_to_silk:
+            n2 = fs // 200
+            n4 = fs // 400
+            celt.reset()
+            celt.start = 0
+            celt.disable_pf = 1
+            celt.force_intra = 1
+            celt.vbr = 0
+            celt.bitrate = OPUS_BITRATE_MAX
+            if mode == MODE_HYBRID and ret_celt is not None:
+                nb_compr_bytes = ret
+                enc.shrink(nb_compr_bytes)
+            dummy = RangeEncoder(2)
+            celt.encode_with_ec(
+                pcm_buf[channels * (frame_size - n2 - n4):
+                        channels * (frame_size - n2)], n4, 2, dummy)
+            rbuf = RangeEncoder(redundancy_bytes)
+            n = celt.encode_with_ec(
+                pcm_buf[channels * (frame_size - n2):
+                        channels * frame_size], n2, redundancy_bytes, rbuf)
+            if n < 0:
+                raise RuntimeError("redundancy encode failed")
+            red_data = bytes(rbuf.buf[:redundancy_bytes])
+            redundant_rng = celt.rng
+            celt.disable_pf = 0
+            celt.force_intra = 0
+
+        toc = pkt.gen_toc(mode, frame_rate, curr_bandwidth, stream_channels)
+        self.rangeFinal ^= redundant_rng
+        self.prev_mode = MODE_CELT_ONLY if to_celt else mode
+        self.prev_channels = stream_channels
+        self.prev_framesize = frame_size
+        self.first = 0
+
+        # DTX (reference :2565-2576)
+        if self.use_dtx:
+            if self._decide_dtx(activity, 2 * 1000 * frame_size // fs):
+                self.rangeFinal = 0
+                return bytes([toc])
+        else:
+            self.nb_no_activity_ms_Q1 = 0
+
+        if ec_tell(enc) > (max_data_bytes - 1) * 8:
+            if max_data_bytes < 2:
+                raise RuntimeError("buffer too small")
+            payload = b"\x00"
+        elif mode == MODE_SILK_ONLY and not redundancy:
+            body = bytearray(enc.buf[:ret])
+            while len(body) > 2 and body[-1] == 0:
+                body.pop()
+            payload = bytes(body)
+        else:
+            if celt_to_silk and redundancy:
+                # redundancy comes FIRST for celt->silk?  No: data layout is
+                # [main | redundancy]; celt_to_silk only flags decode order.
+                pass
+            payload = bytes(enc.buf[:ret])
+        packet = bytes([toc]) + payload + red_data
+
+        if not self.vbr:
+            packet = pkt.packet_pad(packet, max_data_bytes)
+        return packet
+
+    def _decide_dtx(self, activity, frame_ms_q1):
+        """(reference: decide_dtx_mode src/opus_encoder.c:1115)"""
+        if not activity:
+            self.nb_no_activity_ms_Q1 += frame_ms_q1
+            if self.nb_no_activity_ms_Q1 > 2 * 20 * 2:  # NB_SPEECH_FRAMES_BEFORE_DTX*20ms
+                cap = (2 * 20 + 20 * 400) * 2
+                if self.nb_no_activity_ms_Q1 <= cap:
+                    return True
+                self.nb_no_activity_ms_Q1 = 2 * 20 * 2
+        else:
+            self.nb_no_activity_ms_Q1 = 0
+        return False

@@ -12,6 +12,8 @@ import numpy as np
 
 from . import tables as T
 from . import tables_data as TD
+from .macros import (SILK_FIX_CONST, SMLAWB, SMULBB, wrap32, lin2log,
+                     log2lin)
 from .tables import (LTP_ORDER, PE_MIN_LAG_MS, PE_MAX_LAG_MS, MAX_NB_SUBFR,
                      TYPE_VOICED)
 
@@ -316,8 +318,8 @@ def find_ltp(res, pitch_l, subfr_length, nb_subfr, frame_start):
         tgt = res[r0:r0 + subfr_length]
         XX[k] = segs @ segs.T
         xX[k] = segs @ tgt
-        xx = float(np.dot(res[r0 - LTP_ORDER:r0 + subfr_length],
-                          res[r0 - LTP_ORDER:r0 + subfr_length]))
+        xx = float(np.dot(res[r0:r0 + subfr_length + LTP_ORDER],
+                          res[r0:r0 + subfr_length + LTP_ORDER]))
         temp = 1.0 / max(xx, LTP_CORR_INV_MAX * 0.5
                          * (XX[k][0, 0] + XX[k][4, 4]) + 1.0)
         XX[k] *= temp
@@ -325,45 +327,112 @@ def find_ltp(res, pitch_l, subfr_length, nb_subfr, frame_start):
     return XX, xX
 
 
-def quant_ltp_gains(XX, xX, subfr_length, nb_subfr, sum_log_gain_q7,
-                    mu_q10=32):
-    """Simplified LTP gain VQ: exhaustive float RD over the three codebooks
-    (reference: quant_LTP_gains.c + VQ_WMat_EC.c, fixed-point).
+_INT32_MAX = 2 ** 31 - 1
+
+
+def _vq_wmat_ec(XX_q17, xX_q17, cb_q7, cb_gain_q7, cl_q5, subfr_len,
+                max_gain_q7, L):
+    """(reference: silk_VQ_WMat_EC_c silk/VQ_WMat_EC.c:38).
+    Returns (ind, res_nrg_q15, rate_dist_q8, gain_q7)."""
+    neg_xX_q24 = [wrap32(-(xX_q17[i] << 7)) for i in range(5)]
+    best_rate_dist = _INT32_MAX
+    best_res_nrg = _INT32_MAX
+    best_ind = 0
+    best_gain = 0
+    for k in range(L):
+        row = cb_q7[k]
+        gain_tmp_q7 = cb_gain_q7[k]
+        sum1_q15 = SILK_FIX_CONST(1.001, 15)
+        penalty = max(gain_tmp_q7 - max_gain_q7, 0) << 11
+        s2 = wrap32(neg_xX_q24[0] + XX_q17[1] * row[1] + XX_q17[2] * row[2]
+                    + XX_q17[3] * row[3] + XX_q17[4] * row[4])
+        s2 = wrap32((s2 << 1) + XX_q17[0] * row[0])
+        sum1_q15 = SMLAWB(sum1_q15, s2, row[0])
+        s2 = wrap32(neg_xX_q24[1] + XX_q17[7] * row[2] + XX_q17[8] * row[3]
+                    + XX_q17[9] * row[4])
+        s2 = wrap32((s2 << 1) + XX_q17[6] * row[1])
+        sum1_q15 = SMLAWB(sum1_q15, s2, row[1])
+        s2 = wrap32(neg_xX_q24[2] + XX_q17[13] * row[3]
+                    + XX_q17[14] * row[4])
+        s2 = wrap32((s2 << 1) + XX_q17[12] * row[2])
+        sum1_q15 = SMLAWB(sum1_q15, s2, row[2])
+        s2 = wrap32(neg_xX_q24[3] + XX_q17[19] * row[4])
+        s2 = wrap32((s2 << 1) + XX_q17[18] * row[3])
+        sum1_q15 = SMLAWB(sum1_q15, s2, row[3])
+        s2 = wrap32(neg_xX_q24[4] << 1)
+        s2 = wrap32(s2 + XX_q17[24] * row[4])
+        sum1_q15 = SMLAWB(sum1_q15, s2, row[4])
+        if sum1_q15 >= 0:
+            bits_res_q8 = SMULBB(subfr_len,
+                                 lin2log(sum1_q15 + penalty) - (15 << 7))
+            bits_tot_q8 = bits_res_q8 + (cl_q5[k] << 2)
+            if bits_tot_q8 <= best_rate_dist:
+                best_rate_dist = bits_tot_q8
+                best_res_nrg = sum1_q15 + penalty
+                best_ind = k
+                best_gain = gain_tmp_q7
+    return best_ind, best_res_nrg, best_rate_dist, best_gain
+
+
+def quant_ltp_gains(XX, xX, subfr_length, nb_subfr, sum_log_gain_q7):
+    """LTP gain VQ (reference: silk_quant_LTP_gains quant_LTP_gains.c:39 via
+    the FLP wrapper wrappers_FLP.c:175: float corr scaled to Q17).
     Returns (b_q14 flat list, cbk_indices, per_index, pred_gain_db,
     new_sum_log_gain_q7)."""
-    best = None
-    for kcb in range(3):
-        cbk = np.array(T.LTP_VQ_PTRS_Q7[kcb], dtype=np.float64) / 128.0
-        rates = np.array((TD.LTP_GAIN_BITS_Q5_0, TD.LTP_GAIN_BITS_Q5_1,
-                          TD.LTP_GAIN_BITS_Q5_2)[kcb], dtype=np.float64) / 32.0
-        total_rd = 0.0
+    gain_safety = SILK_FIX_CONST(0.4, 7)
+    # Q17 conversion happens in float32 like the reference FLP wrapper
+    # (wrappers_FLP.c:194: silk_float2int( XX[i] * 131072.0f ))
+    XX_q17 = [np.rint(np.asarray(XX[j], np.float32).reshape(-1)
+                      * np.float32(131072.0)).astype(np.int64).tolist()
+              for j in range(nb_subfr)]
+    xX_q17 = [np.rint(np.asarray(xX[j], np.float32)
+                      * np.float32(131072.0)).astype(np.int64).tolist()
+              for j in range(nb_subfr)]
+    cls = (TD.LTP_GAIN_BITS_Q5_0, TD.LTP_GAIN_BITS_Q5_1,
+           TD.LTP_GAIN_BITS_Q5_2)
+    gain_cbs = (TD.LTP_GAIN_VQ_0_GAIN, TD.LTP_GAIN_VQ_1_GAIN,
+                TD.LTP_GAIN_VQ_2_GAIN)
+    min_rate_dist = _INT32_MAX
+    best = (0, [0] * nb_subfr, sum_log_gain_q7)
+    best_res_nrg = _INT32_MAX
+    for k in range(3):
+        cbk = T.LTP_VQ_PTRS_Q7[k]
+        res_nrg = 0
+        rate_dist = 0
+        slg = sum_log_gain_q7
         idxs = []
         for j in range(nb_subfr):
-            # rd = b'XXb - 2 xX'b + mu*rate
-            quad = np.einsum('vi,ij,vj->v', cbk, XX[j], cbk)
-            lin = cbk @ xX[j]
-            rd = quad - 2 * lin + (mu_q10 / 1024.0) * rates
-            ii = int(np.argmin(rd))
-            idxs.append(ii)
-            total_rd += float(rd[ii])
-        # small rate cost for the codebook choice itself
-        total_rd += (mu_q10 / 1024.0) * [1.0, 2.0, 3.0][kcb]
-        if best is None or total_rd < best[0]:
-            best = (total_rd, kcb, idxs)
-    _, kcb, idxs = best
+            max_gain_q7 = log2lin(
+                (SILK_FIX_CONST(250.0 / 6.0, 7) - slg)
+                + SILK_FIX_CONST(7, 7)) - gain_safety
+            ind, rn, rd, gain_q7 = _vq_wmat_ec(
+                XX_q17[j], xX_q17[j], cbk, gain_cbs[k], cls[k],
+                subfr_length, max_gain_q7, len(cbk))
+            idxs.append(ind)
+            # silk_ADD_POS_SAT32: anything with the sign bit set (including
+            # genuinely negative sums) saturates to INT32_MAX
+            res_nrg = (res_nrg + rn) \
+                if not ((res_nrg + rn) & 0x80000000) else _INT32_MAX
+            rate_dist = (rate_dist + rd) \
+                if not ((rate_dist + rd) & 0x80000000) else _INT32_MAX
+            slg = max(0, slg + lin2log(gain_safety + gain_q7)
+                      - SILK_FIX_CONST(7, 7))
+        if rate_dist <= min_rate_dist:
+            min_rate_dist = rate_dist
+            best = (k, idxs, slg)
+        # NB: the reference computes pred gain from the LAST codebook's
+        # accumulated residual (quant_LTP_gains.c:121-131 reads res_nrg_Q15
+        # after the k loop, which still holds iteration k=2's value), not
+        # the chosen codebook's -- reproduced as-is for parity.
+        best_res_nrg = res_nrg
+    kcb, idxs, new_slg = best
     b_q14 = []
     for j in range(nb_subfr):
         row = T.LTP_VQ_PTRS_Q7[kcb][idxs[j]]
         b_q14.extend([v << 7 for v in row])
-    # prediction gain estimate (for LTP scale ctrl / gain processing)
-    num = 0.0
-    den = 0.0
-    for j in range(nb_subfr):
-        b = np.array(T.LTP_VQ_PTRS_Q7[kcb][idxs[j]], dtype=np.float64) / 128.0
-        num += float(b @ xX[j])
-        den += 1.0
-    pred_gain_db = 3.0 * max(0.0, num)  # coarse; used for soft decisions only
-    return b_q14, idxs, kcb, pred_gain_db, sum_log_gain_q7
+    best_res_nrg >>= 1 if nb_subfr == 2 else 2
+    pred_gain_db_q7 = SMULBB(-3, lin2log(best_res_nrg) - (15 << 7))
+    return b_q14, idxs, kcb, pred_gain_db_q7 / 128.0, new_slg
 
 
 def ltp_analysis_filter(x, x_base, b_q14, pitch_l, inv_gains, subfr_length,

@@ -31,6 +31,7 @@ from .decoder import (ChannelState, SideInfoIndices, gains_dequant,
                       lpc_analysis_filter, _OffsetList)
 from .nlsf_enc import process_nlsfs, a2nlsf, nlsf_encode
 from .resampler import Resampler
+from .vad import VadState
 
 LA_SHAPE_MS = 5
 LA_PITCH_MS = 2
@@ -452,13 +453,70 @@ class SilkEncoderChannel(ChannelState):
         self.last_gain_index = 10
         self.harm_shape_gain_smth = 0.0
         self.tilt_smth = 0.0
-        self.vad_noise_level = None
-        self.vad_lp_state = 0.0
+        self.sVAD = VadState()
         self.no_speech_counter = 0
         self.in_dtx = 0
         self.target_rate_bps = 20000
         self.lbrr_enabled = 0
         self.resampler_enc = None
+        # adaptive HP cutoff smoother state (reference:
+        # silk/HP_variable_cutoff.c; read by the opus layer's hp_cutoff)
+        self.variable_HP_smth1_Q15 = lin2log(60) << 8  # VARIABLE_HP_MIN_CUTOFF_HZ
+
+    def do_vad(self, frame16, opus_activity=None):
+        """(reference: silk_encode_do_VAD_FLP encode_frame_FLP.c:45).
+        Returns (speech_activity_q8, tilt_q15, quality_q15[4], vad_flag)
+        and updates DTX counters."""
+        sa, tilt, qual = self.sVAD.get_sa_q8(
+            [int(v) for v in frame16], self.frame_length, self.fs_kHz)
+        thres = SILK_FIX_CONST(0.05, 8)  # SPEECH_ACTIVITY_DTX_THRES
+        if opus_activity == 0 and sa >= thres:
+            sa = thres - 1
+        if sa < thres:
+            self.no_speech_counter += 1
+            if self.no_speech_counter <= 10:       # NB_SPEECH_FRAMES_BEFORE_DTX
+                self.in_dtx = 0
+            elif self.no_speech_counter > 20 + 10:  # MAX_CONSECUTIVE_DTX + NB
+                self.no_speech_counter = 10
+                self.in_dtx = 0
+            else:
+                self.in_dtx = 1
+            vad_flag = 0
+        else:
+            self.no_speech_counter = 0
+            self.in_dtx = 0
+            vad_flag = 1
+        self.speech_activity_q8 = sa
+        self.input_tilt_q15 = tilt
+        self.input_quality_bands_q15 = qual
+        return sa, tilt, qual, vad_flag
+
+    def hp_variable_cutoff(self):
+        """(reference: silk_HP_variable_cutoff silk/HP_variable_cutoff.c:36)
+        Update the smoothed HP cutoff from pitch-lag statistics."""
+        if self.prevSignalType != TYPE_VOICED or self.prev_lag <= 0:
+            return
+        pitch_freq_hz_q16 = ((self.fs_kHz * 1000) << 16) // self.prev_lag
+        pitch_freq_log_q7 = lin2log(pitch_freq_hz_q16) - (16 << 7)
+        quality_q15 = self.input_quality_bands_q15[0]
+        pitch_freq_log_q7 = SMLAWB(
+            pitch_freq_log_q7,
+            SMULWB((-quality_q15) << 2, quality_q15),
+            pitch_freq_log_q7 - (lin2log(SILK_FIX_CONST(60, 16))
+                                 - (16 << 7)))
+        delta_freq_q7 = pitch_freq_log_q7 - (self.variable_HP_smth1_Q15 >> 8)
+        if delta_freq_q7 < 0:
+            delta_freq_q7 *= 3
+        lim = SILK_FIX_CONST(0.4, 7)  # VARIABLE_HP_MAX_DELTA_FREQ
+        delta_freq_q7 = max(-lim, min(lim, delta_freq_q7))
+        self.variable_HP_smth1_Q15 = SMLAWB(
+            self.variable_HP_smth1_Q15,
+            SMULBB(self.speech_activity_q8, delta_freq_q7),
+            SILK_FIX_CONST(0.1, 16))  # VARIABLE_HP_SMTH_COEF1
+        lo = lin2log(60) << 8
+        hi = lin2log(100) << 8
+        self.variable_HP_smth1_Q15 = max(lo, min(hi,
+                                                 self.variable_HP_smth1_Q15))
 
     # -- configuration --------------------------------------------------
     def setup(self, fs_khz, api_fs_hz, payload_ms, complexity):
@@ -536,15 +594,15 @@ class SilkEncoderChannel(ChannelState):
         # header VAD bit was already written from it; recomputing here could
         # disagree and desync the decoder's icdf table choice).
         if getattr(self, "_vad_result", None) is not None:
-            sa, tilt, qual = self._vad_result
+            sa, tilt, qual, vad_flag = self._vad_result
             self._vad_result = None
         else:
-            sa, tilt, qual = FA.simple_vad(self, np.asarray(inp16,
-                                                            np.float64))
+            sa, tilt, qual, vad_flag = self.do_vad(
+                np.asarray(inp16, np.int64))
         self.speech_activity_q8 = sa
         self.input_tilt_q15 = tilt
         self.input_quality_bands_q15 = qual
-        if sa < int(0.05 * 256):
+        if not vad_flag:
             self.indices.signalType = TYPE_NO_VOICE_ACTIVITY
             self.VAD_flags[self.nFramesDecoded] = 0
         else:
@@ -1109,6 +1167,8 @@ class SilkEncoder:
     def __init__(self):
         self.channel = SilkEncoderChannel()
         self.n_frames_per_packet = 1
+        # bit-reservoir state (reference: silk_encoder.nBitsExceeded)
+        self.n_bits_exceeded = 0
 
     def encode(self, enc: RangeEncoder, pcm_api, *, api_fs_hz,
                internal_fs_hz, payload_ms, bitrate_bps, max_bits,
@@ -1125,7 +1185,6 @@ class SilkEncoder:
             ch.setup(fs_khz, api_fs_hz, frame_ms, complexity)
         ch.packet_loss_perc = packet_loss_perc
         ch.use_cbr = 1 if use_cbr else 0
-        ch.control_snr(bitrate_bps)
         ch.nFramesDecoded = 0
 
         # resample API input to internal rate
@@ -1152,11 +1211,12 @@ class SilkEncoder:
         # BEFORE any frame data, and encode_indices' icdf choice depends on
         # it, so the per-frame analysis must run first and the exact same
         # decision be reused inside encode_frame (a mismatch desyncs the
-        # stream for the decoder).  simple_vad is stateful; running it here
-        # in frame order preserves its state sequence.
-        vad_results = [FA.simple_vad(ch, f) for f in frames]
-        vad_flags = [1 if sa >= int(0.05 * 256) else 0
-                     for sa, _, _ in vad_results]
+        # stream for the decoder).  The VAD is stateful; running it here in
+        # frame order preserves its state sequence (reference:
+        # silk_encode_do_VAD_FLP encode_frame_FLP.c:45, called per frame
+        # from silk_Encode enc_API.c:480 before any frame is coded).
+        vad_results = [ch.do_vad(f) for f in frames]
+        vad_flags = [r[3] for r in vad_results]
 
         # LBRR disabled in v1
         for i in range(n_frames):
@@ -1165,10 +1225,26 @@ class SilkEncoder:
             enc.enc_bit_logp(vad_flags[i], 1)
         enc.enc_bit_logp(0, 1)  # LBRR flag
 
+        # Bit reservoir: per-frame SNR target adapts to past overshoot
+        # (reference: silk_Encode enc_API.c:412-443, :555-557).
+        n_bits_packet = bitrate_bps * payload_ms // 1000
+        n_bits = n_bits_packet // n_frames
         for i in range(n_frames):
+            target = n_bits * (100 if frame_ms == 10 else 50)
+            target -= self.n_bits_exceeded * 1000 // 500
+            if i > 0:
+                bits_balance = ec_tell(enc) - n_bits * i
+                target -= bits_balance * 1000 // 500
+            target = max(5000, min(bitrate_bps, target)) \
+                if bitrate_bps >= 5000 else min(5000, max(bitrate_bps,
+                                                          target))
+            ch.control_snr(target)
             cond = CODE_CONDITIONALLY if i > 0 else CODE_INDEPENDENTLY
             ch.VAD_flags[ch.nFramesDecoded] = vad_flags[i]
             ch._vad_result = vad_results[i]
             ch.encode_frame(enc, frames[i], cond,
                             max_bits * (i + 1) // n_frames, use_cbr)
-        return (ec_tell(enc) + 7) >> 3
+        n_bytes_out = (ec_tell(enc) + 7) >> 3
+        self.n_bits_exceeded += n_bytes_out * 8 - n_bits_packet
+        self.n_bits_exceeded = max(0, min(10000, self.n_bits_exceeded))
+        return n_bytes_out

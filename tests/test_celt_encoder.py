@@ -41,7 +41,9 @@ def gen(ch, n=24000, seed=7):
 
 
 def encode_stream(sig, ch, rate, fsz, vbr=True):
-    enc = OpusEncoder(48000, ch)
+    # restricted-lowdelay: no delay compensation / input HP filter, matching
+    # the `opus_demo -e restricted-lowdelay` reference stream and DELAY=120
+    enc = OpusEncoder(48000, ch, "restricted-lowdelay")
     enc.set_bitrate(rate)
     enc.set_vbr(vbr)
     n = len(sig) // ch
