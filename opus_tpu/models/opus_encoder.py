@@ -6,10 +6,9 @@ dc_reject :509), the SILK/CELT orchestration with hybrid glue and
 mode-transition redundancy frames (opus_encode_frame_native :1855),
 DTX, and CBR padding.
 
-Scope notes vs the reference: SILK stereo (stereo prediction coding)
-is not wired yet, so stereo inputs currently use CELT for the music
-path and mid-downmix for speech; LBRR/FEC and DRED land with the DNN
-stack.
+Scope notes vs the reference: LBRR/FEC and DRED land with the DNN
+stack; the analysis (music/speech GRU) module is pending, so voice_est
+uses the application-based fallback.
 """
 
 from __future__ import annotations
@@ -356,9 +355,6 @@ class OpusEncoder:
 
         if mode != MODE_CELT_ONLY and frame_size < fs // 100:
             mode = MODE_CELT_ONLY
-        # SILK stereo not wired: route stereo speech through CELT for now
-        if stream_channels == 2 and mode != MODE_CELT_ONLY and not force_silk:
-            mode = MODE_CELT_ONLY
 
         # mode-transition redundancy (reference :1542-1559)
         redundancy = 0
@@ -551,9 +547,9 @@ class OpusEncoder:
                 silk_max_bits = bitrate_to_bits(max_rate_for_bits, fs,
                                                 frame_size)
 
-            # mono downmix for the SILK half (SILK stereo not wired yet)
             pcm_silk = pcm_buf[total_buffer * channels:]
-            if channels == 2:
+            if channels == 2 and stream_channels == 1:
+                # stereo API input coded as mono: downmix at the opus layer
                 pcm_silk = 0.5 * (pcm_silk[0::2] + pcm_silk[1::2])
             pcm_silk16 = np.clip(np.round(pcm_silk * 32768.0),
                                  -32768, 32767).astype(np.int64)
@@ -591,7 +587,8 @@ class OpusEncoder:
                 payload_ms=payload_ms, bitrate_bps=silk_rate,
                 max_bits=silk_max_bits, use_cbr=use_cbr,
                 complexity=self.complexity,
-                packet_loss_perc=self.packet_loss_perc)
+                packet_loss_perc=self.packet_loss_perc,
+                n_channels=stream_channels)
 
             if mode == MODE_SILK_ONLY:
                 curr_bandwidth = {8000: BW_NB, 12000: BW_MB,

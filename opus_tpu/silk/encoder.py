@@ -32,6 +32,9 @@ from .decoder import (ChannelState, SideInfoIndices, gains_dequant,
 from .nlsf_enc import process_nlsfs, a2nlsf, nlsf_encode
 from .resampler import Resampler
 from .vad import VadState
+from .stereo_enc import (StereoEncState, stereo_encode_pred,
+                         stereo_encode_mid_only)
+from .tables import CODE_INDEPENDENTLY_NO_LTP_SCALING
 
 LA_SHAPE_MS = 5
 LA_PITCH_MS = 2
@@ -462,6 +465,18 @@ class SilkEncoderChannel(ChannelState):
         # adaptive HP cutoff smoother state (reference:
         # silk/HP_variable_cutoff.c; read by the opus layer's hp_cutoff)
         self.variable_HP_smth1_Q15 = lin2log(60) << 8  # VARIABLE_HP_MIN_CUTOFF_HZ
+
+    def partial_reset(self):
+        """Reset for the first side frame after decode-only-middle
+        (reference: enc_API.c:452-464)."""
+        self.nsq = NSQState()
+        self.prev_nlsf_q15 = [0] * MAX_LPC_ORDER
+        self.prev_lag = 100
+        self.last_gain_index = 10
+        self.prevSignalType = TYPE_NO_VOICE_ACTIVITY
+        self.harm_shape_gain_smth = 0.0
+        self.tilt_smth = 0.0
+        self.first_frame_after_reset = 1
 
     def do_vad(self, frame16, opus_activity=None):
         """(reference: silk_encode_do_VAD_FLP encode_frame_FLP.c:45).
@@ -1165,70 +1180,62 @@ class SilkEncoder:
     """silk_Encode equivalent (mono; reference: silk/enc_API.c:150)."""
 
     def __init__(self):
-        self.channel = SilkEncoderChannel()
+        self.channels = [SilkEncoderChannel(), SilkEncoderChannel()]
+        self.channel = self.channels[0]   # mono alias
+        self.stereo = StereoEncState()
+        self.prev_decode_only_middle = 0
         self.n_frames_per_packet = 1
         # bit-reservoir state (reference: silk_encoder.nBitsExceeded)
         self.n_bits_exceeded = 0
 
     def encode(self, enc: RangeEncoder, pcm_api, *, api_fs_hz,
                internal_fs_hz, payload_ms, bitrate_bps, max_bits,
-               use_cbr=False, complexity=9, packet_loss_perc=0):
-        """Encode one SILK packet worth of PCM (int16 at API rate) into enc.
-        Returns number of bytes used."""
-        ch = self.channel
+               use_cbr=False, complexity=9, packet_loss_perc=0,
+               n_channels=1):
+        """Encode one SILK packet worth of PCM into enc (reference:
+        silk_Encode enc_API.c:150).  pcm_api: int16 at API rate,
+        interleaved when n_channels == 2.  Returns bytes used."""
         fs_khz = internal_fs_hz // 1000
         frame_ms = min(payload_ms, 20)
         n_frames = max(1, payload_ms // 20)
-        ch.nFramesPerPacket = n_frames
-        if ch.fs_kHz != fs_khz or ch.fs_API_hz != api_fs_hz \
-                or ch.nb_subfr != (2 if frame_ms == 10 else 4):
-            ch.setup(fs_khz, api_fs_hz, frame_ms, complexity)
-        ch.packet_loss_perc = packet_loss_perc
-        ch.use_cbr = 1 if use_cbr else 0
-        ch.nFramesDecoded = 0
+        chs = self.channels[:n_channels]
+        for ch in chs:
+            ch.nFramesPerPacket = n_frames
+            if ch.fs_kHz != fs_khz or ch.fs_API_hz != api_fs_hz \
+                    or ch.nb_subfr != (2 if frame_ms == 10 else 4):
+                ch.setup(fs_khz, api_fs_hz, frame_ms, complexity)
+            ch.packet_loss_perc = packet_loss_perc
+            ch.use_cbr = 1 if use_cbr else 0
+            ch.nFramesDecoded = 0
 
-        # resample API input to internal rate
-        pcm = list(np.asarray(pcm_api, dtype=np.int64))
-        if api_fs_hz != internal_fs_hz:
-            internal = []
-            step = api_fs_hz // 1000  # feed in 10 ms chunks
-            chunk = 10 * step
-            for off in range(0, len(pcm), chunk):
-                internal += ch.resampler_enc.process(pcm[off:off + chunk])
-            x_int = internal
-        else:
-            x_int = pcm
+        # resample each API channel to the internal rate
+        pcm = np.asarray(pcm_api, dtype=np.int64)
+        x_int = []
+        for n in range(n_channels):
+            x = list(pcm[n::n_channels]) if n_channels == 2 else list(pcm)
+            if api_fs_hz != internal_fs_hz:
+                out = []
+                chunk = 10 * (api_fs_hz // 1000)
+                for off in range(0, len(x), chunk):
+                    out += chs[n].resampler_enc.process(x[off:off + chunk])
+                x_int.append(out)
+            else:
+                x_int.append(x)
 
-        frame_len = ch.frame_length
-        # VAD flags must be encoded before the first frame
-        # -> encode frames into a scratch encoder first, like the reference
-        # does implicitly by writing flags first (it knows VAD before coding).
-        # We compute VAD per frame up front.
-        frames = [np.asarray(x_int[i * frame_len:(i + 1) * frame_len],
-                             dtype=np.float64)
-                  for i in range(n_frames)]
-        # VAD pre-pass: the packet header carries one VAD bit per frame
-        # BEFORE any frame data, and encode_indices' icdf choice depends on
-        # it, so the per-frame analysis must run first and the exact same
-        # decision be reused inside encode_frame (a mismatch desyncs the
-        # stream for the decoder).  The VAD is stateful; running it here in
-        # frame order preserves its state sequence (reference:
-        # silk_encode_do_VAD_FLP encode_frame_FLP.c:45, called per frame
-        # from silk_Encode enc_API.c:480 before any frame is coded).
-        vad_results = [ch.do_vad(f) for f in frames]
-        vad_flags = [r[3] for r in vad_results]
+        frame_len = chs[0].frame_length
 
-        # LBRR disabled in v1
-        for i in range(n_frames):
-            ch.VAD_flags[i] = vad_flags[i]
-        for i in range(n_frames):
-            enc.enc_bit_logp(vad_flags[i], 1)
-        enc.enc_bit_logp(0, 1)  # LBRR flag
+        # Reserve header space for VAD+LBRR flags, patched at the end
+        # (reference: enc_API.c:356-361)
+        hdr_bits = (n_frames + 1) * n_channels
+        icdf0 = 256 - (256 >> hdr_bits)
+        enc.enc_icdf(0, (icdf0, 0), 8)
+        # (LBRR data from the previous packet would be coded here)
 
         # Bit reservoir: per-frame SNR target adapts to past overshoot
         # (reference: silk_Encode enc_API.c:412-443, :555-557).
         n_bits_packet = bitrate_bps * payload_ms // 1000
         n_bits = n_bits_packet // n_frames
+        ms_rates = [0, 0]
         for i in range(n_frames):
             target = n_bits * (100 if frame_ms == 10 else 50)
             target -= self.n_bits_exceeded * 1000 // 500
@@ -1238,12 +1245,90 @@ class SilkEncoder:
             target = max(5000, min(bitrate_bps, target)) \
                 if bitrate_bps >= 5000 else min(5000, max(bitrate_bps,
                                                           target))
-            ch.control_snr(target)
-            cond = CODE_CONDITIONALLY if i > 0 else CODE_INDEPENDENTLY
-            ch.VAD_flags[ch.nFramesDecoded] = vad_flags[i]
-            ch._vad_result = vad_results[i]
-            ch.encode_frame(enc, frames[i], cond,
-                            max_bits * (i + 1) // n_frames, use_cbr)
+
+            # per-frame maxBits split for multiframe packets
+            # (reference: enc_API.c:486-497)
+            frame_max_bits = max_bits
+            if n_frames == 2 and i == 0:
+                frame_max_bits = max_bits * 3 // 5
+            elif n_frames == 3:
+                if i == 0:
+                    frame_max_bits = max_bits * 2 // 5
+                elif i == 1:
+                    frame_max_bits = max_bits * 3 // 4
+            frame_cbr = use_cbr and i == n_frames - 1
+
+            if n_channels == 2:
+                ch0, ch1 = chs
+                Lf = x_int[0][i * frame_len:(i + 1) * frame_len]
+                Rf = x_int[1][i * frame_len:(i + 1) * frame_len]
+                mid_full, side, mid_only = self.stereo.lr_to_ms(
+                    Lf, Rf, i, ms_rates, target, ch0.speech_activity_q8,
+                    0, fs_khz, frame_len)
+                mid_frame = np.asarray(mid_full[1:frame_len + 1],
+                                       dtype=np.float64)
+                if mid_only == 0:
+                    if self.prev_decode_only_middle == 1:
+                        # first side frame after decode-only-middle: reset
+                        # the side encoder like the reference
+                        # (enc_API.c:452-464)
+                        ch1.partial_reset()
+                    ch1._vad_result = ch1.do_vad(
+                        np.asarray(side, dtype=np.int64))
+                    ch1.VAD_flags[i] = ch1._vad_result[3]
+                else:
+                    ch1.VAD_flags[i] = 0
+                    ch1._vad_result = None
+                stereo_encode_pred(enc, self.stereo.predIx[i])
+                if ch1.VAD_flags[i] == 0:
+                    stereo_encode_mid_only(enc, mid_only)
+                ch0._vad_result = ch0.do_vad(
+                    np.asarray(mid_frame, dtype=np.int64))
+                ch0.VAD_flags[i] = ch0._vad_result[3]
+
+                for n in range(2):
+                    ch = chs[n]
+                    ch_max = frame_max_bits
+                    rate = ms_rates[n]
+                    ch_cbr = frame_cbr
+                    if n == 0 and ms_rates[1] > 0:
+                        ch_cbr = False
+                        ch_max -= max_bits // (n_frames * 2)
+                    if rate > 0:
+                        ch.control_snr(rate)
+                        if i == 0:
+                            cond = CODE_INDEPENDENTLY
+                        elif n > 0 and self.prev_decode_only_middle:
+                            cond = CODE_INDEPENDENTLY_NO_LTP_SCALING
+                        else:
+                            cond = CODE_CONDITIONALLY
+                        frame = (mid_frame if n == 0
+                                 else np.asarray(side, dtype=np.float64))
+                        ch.encode_frame(enc, frame, cond, ch_max, ch_cbr)
+                    else:
+                        ch.nFramesDecoded += 1
+                self.prev_decode_only_middle = mid_only
+            else:
+                ch = chs[0]
+                frame = np.asarray(
+                    x_int[0][i * frame_len:(i + 1) * frame_len],
+                    dtype=np.float64)
+                ch.control_snr(target)
+                cond = CODE_CONDITIONALLY if i > 0 else CODE_INDEPENDENTLY
+                ch._vad_result = ch.do_vad(np.asarray(frame, np.int64))
+                ch.VAD_flags[i] = ch._vad_result[3]
+                ch.encode_frame(enc, frame, cond,
+                                max_bits * (i + 1) // n_frames, use_cbr)
+
+        # Patch VAD + LBRR flags into the reserved header bits
+        # (reference: enc_API.c:537-548)
+        flags = 0
+        for n in range(n_channels):
+            for i in range(n_frames):
+                flags = (flags << 1) | chs[n].VAD_flags[i]
+            flags = (flags << 1) | 0  # LBRR flag
+        enc.patch_initial_bits(flags, hdr_bits)
+
         n_bytes_out = (ec_tell(enc) + 7) >> 3
         self.n_bits_exceeded += n_bytes_out * 8 - n_bits_packet
         self.n_bits_exceeded = max(0, min(10000, self.n_bits_exceeded))

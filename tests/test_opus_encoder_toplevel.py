@@ -190,3 +190,64 @@ def test_packet_pad_roundtrip():
         parsed = pkt.packet_parse(padded)
         assert not isinstance(parsed, int)
         assert parsed.frames == [data[1:]]
+
+
+def _stereo_sig(fs, seconds=1.0, panned=False, seed=5):
+    rng = np.random.default_rng(seed)
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    f0 = 110 * (1 + 0.1 * np.sin(2 * np.pi * 2.5 * t))
+    voiced = np.sin(2 * np.pi * np.cumsum(f0) / fs)
+    L = np.clip(0.25 * voiced + 0.02 * rng.standard_normal(n), -1, 1)
+    if panned:
+        R = L * 0.9
+    else:
+        R = np.clip(0.18 * voiced * 0.8
+                    + 0.02 * rng.standard_normal(n), -1, 1)
+    return np.stack([L, R], 1).reshape(-1)
+
+
+@pytest.mark.parametrize("bitrate,panned", [(24000, False), (12000, True)])
+def test_silk_stereo_bit_exact(bitrate, panned):
+    """SILK-only stereo: our decode must be BIT-EXACT vs reference
+    (fixed-point SILK decoder on both sides)."""
+    fs = 48000
+    pcm = _stereo_sig(fs, panned=panned)
+    enc = OpusEncoder(fs, 2, "voip")
+    enc.set_bitrate(bitrate)
+    enc.force_channels = 2
+    enc.user_bandwidth = pkt.Bandwidth.WIDEBAND
+    lib, dec = _ref_decoder(fs, 2)
+    ours = OpusDecoder(fs, 2)
+    N = fs // 50
+    for off in range(0, len(pcm) // 2 - N + 1, N):
+        p = enc.encode(pcm[off * 2:(off + N) * 2], N)
+        assert pkt.packet_get_nb_channels(p) == 2
+        assert pkt.packet_get_mode(p) == pkt.Mode.SILK_ONLY
+        out = np.zeros(N * 2, np.int16)
+        r = lib.opus_decode(dec, p, len(p),
+                            out.ctypes.data_as(
+                                ctypes.POINTER(ctypes.c_int16)), N, 0)
+        assert r == N
+        np.testing.assert_array_equal(ours.decode_int16(p), out)
+
+
+def test_hybrid_stereo():
+    fs = 48000
+    pcm = _stereo_sig(fs)
+    enc = OpusEncoder(fs, 2, "voip")
+    enc.set_bitrate(32000)
+    enc.force_channels = 2
+    lib, dec = _ref_decoder(fs, 2)
+    ours = OpusDecoder(fs, 2)
+    N = fs // 50
+    for off in range(0, len(pcm) // 2 - N + 1, N):
+        p = enc.encode(pcm[off * 2:(off + N) * 2], N)
+        out = np.zeros(N * 2, np.int16)
+        r = lib.opus_decode(dec, p, len(p),
+                            out.ctypes.data_as(
+                                ctypes.POINTER(ctypes.c_int16)), N, 0)
+        assert r == N
+        d = np.max(np.abs(ours.decode_int16(p).astype(int)
+                          - out.astype(int)))
+        assert d <= 1
