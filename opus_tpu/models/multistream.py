@@ -1,0 +1,229 @@
+"""Multistream Opus encoder/decoder (reference:
+src/opus_multistream_encoder.c, src/opus_multistream_decoder.c,
+src/opus_multistream.c).
+
+N elementary Opus streams (coupled = stereo, uncoupled = mono) packed
+back-to-back with self-delimited framing for all but the last stream,
+plus a channel mapping table."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream import packet as pkt
+from ..bitstream.repacketizer import Repacketizer
+from .opus_decoder import OpusDecoder
+from .opus_encoder import OpusEncoder
+
+OPUS_AUTO = None
+
+# (reference: vorbis_mappings src/opus_multistream_encoder.c:52)
+VORBIS_MAPPINGS = (
+    (1, 0, (0,)),
+    (1, 1, (0, 1)),
+    (2, 1, (0, 2, 1)),
+    (2, 2, (0, 1, 2, 3)),
+    (3, 2, (0, 4, 1, 2, 3)),
+    (4, 2, (0, 4, 1, 2, 3, 5)),
+    (4, 3, (0, 4, 1, 2, 3, 5, 6)),
+    (5, 3, (0, 6, 1, 2, 3, 4, 5, 7)),
+)
+
+
+def default_surround_layout(channels: int):
+    """(reference: opus_multistream_surround_encoder_init, family 1)"""
+    if not 1 <= channels <= 8:
+        raise ValueError("surround layout supports 1-8 channels")
+    streams, coupled, mapping = VORBIS_MAPPINGS[channels - 1]
+    return streams, coupled, list(mapping)
+
+
+def surround_rate_allocation(bitrate_bps, streams, coupled_streams,
+                             frame_size, fs, lfe_stream=-1):
+    """(reference: surround_rate_allocation
+    src/opus_multistream_encoder.c:702).  Returns per-stream bitrates."""
+    nb_lfe = 1 if lfe_stream != -1 else 0
+    nb_coupled = coupled_streams
+    nb_uncoupled = streams - nb_coupled - nb_lfe
+    nb_normal = 2 * nb_coupled + nb_uncoupled
+    channel_offset = 40 * max(50, fs // frame_size)
+    if bitrate_bps is None:
+        bitrate = nb_normal * (channel_offset + fs + 10000) + 8000 * nb_lfe
+    else:
+        bitrate = bitrate_bps
+    lfe_offset = min(bitrate // 20, 3000) + 15 * max(50, fs // frame_size)
+    stream_offset = (bitrate - channel_offset * nb_normal
+                     - lfe_offset * nb_lfe) // nb_normal // 2
+    stream_offset = max(0, min(20000, stream_offset))
+    coupled_ratio = 512
+    lfe_ratio = 32
+    total = (nb_uncoupled << 8) + coupled_ratio * nb_coupled \
+        + nb_lfe * lfe_ratio
+    channel_rate = 256 * (bitrate - lfe_offset * nb_lfe
+                          - stream_offset * (nb_coupled + nb_uncoupled)
+                          - channel_offset * nb_normal) // total
+    rates = []
+    for i in range(streams):
+        if i < coupled_streams:
+            rates.append(2 * channel_offset
+                         + max(0, stream_offset
+                               + (channel_rate * coupled_ratio >> 8)))
+        elif i != lfe_stream:
+            rates.append(channel_offset + max(0, stream_offset
+                                              + channel_rate))
+        else:
+            rates.append(max(0, lfe_offset
+                             + (channel_rate * lfe_ratio >> 8)))
+    return rates
+
+
+class OpusMSEncoder:
+    """(reference: opus_multistream_encoder_init
+    src/opus_multistream_encoder.c)"""
+
+    def __init__(self, fs, channels, streams, coupled_streams, mapping,
+                 application="audio"):
+        if streams < 1 or coupled_streams > streams \
+                or channels < streams + coupled_streams \
+                or len(mapping) != channels:
+            raise ValueError("bad layout")
+        for m in mapping:
+            if m != 255 and m >= streams + coupled_streams:
+                raise ValueError("bad mapping entry")
+        self.fs = fs
+        self.channels = channels
+        self.streams = streams
+        self.coupled_streams = coupled_streams
+        self.mapping = list(mapping)
+        self.bitrate = None
+        self.lfe_stream = -1
+        self.encoders = []
+        for s in range(streams):
+            ch = 2 if s < coupled_streams else 1
+            self.encoders.append(OpusEncoder(fs, ch, application))
+
+    @classmethod
+    def create_surround(cls, fs, channels, application="audio"):
+        streams, coupled, mapping = default_surround_layout(channels)
+        enc = cls(fs, channels, streams, coupled, mapping, application)
+        if channels in (6, 8):  # 5.1 / 7.1: last mapped channel is the LFE
+            enc.lfe_stream = streams - 1
+        return enc
+
+    def set_bitrate(self, bitrate):
+        self.bitrate = bitrate
+
+    def _stream_channels(self, s):
+        """Input channel indices feeding stream s (reference:
+        get_left_channel/get_right_channel/get_mono_channel
+        src/opus_multistream.c:57-95)."""
+        if s < self.coupled_streams:
+            left = self.mapping.index(2 * s) if 2 * s in self.mapping \
+                else None
+            right = self.mapping.index(2 * s + 1) \
+                if 2 * s + 1 in self.mapping else None
+            return left, right
+        idx = self.coupled_streams + s
+        return (self.mapping.index(idx) if idx in self.mapping else None,)
+
+    def encode(self, pcm: np.ndarray, frame_size: int) -> bytes:
+        """pcm: float interleaved [channels * frame_size]."""
+        pcm = np.asarray(pcm, dtype=np.float64).reshape(-1)
+        if len(pcm) != frame_size * self.channels:
+            raise ValueError("pcm length mismatch")
+        rates = surround_rate_allocation(
+            self.bitrate, self.streams, self.coupled_streams, frame_size,
+            self.fs, self.lfe_stream)
+        out = b""
+        for s in range(self.streams):
+            enc = self.encoders[s]
+            enc.set_bitrate(max(500, rates[s]))
+            chans = self._stream_channels(s)
+            if len(chans) == 2:
+                left = (pcm[chans[0]::self.channels] if chans[0] is not None
+                        else np.zeros(frame_size))
+                right = (pcm[chans[1]::self.channels] if chans[1] is not None
+                         else np.zeros(frame_size))
+                x = np.stack([left, right], 1).reshape(-1)
+            else:
+                x = (pcm[chans[0]::self.channels] if chans[0] is not None
+                     else np.zeros(frame_size))
+            p = enc.encode(x, frame_size)
+            if s != self.streams - 1:
+                rp = Repacketizer()
+                if rp.cat(p) != 0:
+                    raise RuntimeError("repacketize failed")
+                sd = rp.out_range(0, rp.nb_frames, len(p) + 2,
+                                  self_delimited=True)
+                if not isinstance(sd, bytes):
+                    raise RuntimeError("self-delimit failed")
+                out += sd
+            else:
+                out += p
+        return out
+
+
+class OpusMSDecoder:
+    """(reference: opus_multistream_decoder_init
+    src/opus_multistream_decoder.c)"""
+
+    def __init__(self, fs, channels, streams, coupled_streams, mapping):
+        if streams < 1 or coupled_streams > streams \
+                or len(mapping) != channels:
+            raise ValueError("bad layout")
+        self.fs = fs
+        self.channels = channels
+        self.streams = streams
+        self.coupled_streams = coupled_streams
+        self.mapping = list(mapping)
+        self.decoders = []
+        for s in range(streams):
+            ch = 2 if s < coupled_streams else 1
+            self.decoders.append(OpusDecoder(fs, ch))
+
+    def decode(self, data: bytes, frame_size: int | None = None):
+        """Returns float PCM [frame * channels] interleaved."""
+        outputs = []
+        pos = 0
+        nsamp = None
+        for s in range(self.streams):
+            self_delimited = s != self.streams - 1
+            parsed = pkt.packet_parse(data[pos:],
+                                      self_delimited=self_delimited)
+            if isinstance(parsed, int):
+                raise ValueError(f"invalid stream {s} ({parsed})")
+            # rebuild a regular packet for the elementary decoder
+            sub = bytes([parsed.toc & 0xFC]) if parsed.count == 1 else None
+            if parsed.count == 1:
+                sub = bytes([parsed.toc & 0xFC]) + parsed.frames[0]
+            else:
+                rp = Repacketizer()
+                body = bytearray([parsed.toc | 0x03,
+                                  0x80 | parsed.count])
+                for f in parsed.frames[:-1]:
+                    body += pkt.encode_size(len(f))
+                for f in parsed.frames:
+                    body += f
+                sub = bytes(body)
+            out = self.decoders[s].decode(sub)
+            outputs.append(out)
+            if nsamp is None:
+                nsamp = len(out) // self.decoders[s].channels
+            pos += parsed.packet_offset
+        # channel mapping
+        res = np.zeros(nsamp * self.channels)
+        for c in range(self.channels):
+            m = self.mapping[c]
+            if m == 255:
+                continue
+            if m < 2 * self.coupled_streams:
+                s, lr = divmod(m, 2)
+                res[c::self.channels] = outputs[s][lr::2]
+            else:
+                s = m - self.coupled_streams
+                res[c::self.channels] = outputs[s]
+        return res
+
+    def decode_int16(self, data: bytes, frame_size: int | None = None):
+        from ..utils.soft_clip import float2int16
+        return float2int16(self.decode(data, frame_size))

@@ -1,0 +1,148 @@
+"""Multistream + projection tests (reference:
+src/opus_multistream_encoder.c, src/opus_multistream_decoder.c,
+src/opus_projection_encoder.c, src/opus_projection_decoder.c,
+tests/test_opus_projection.c).
+
+Contract: our multistream/projection packets must decode identically in
+the reference libopus multistream/projection decoders and in ours, and
+the ambisonics mixing/demixing matrix pairs must be well conditioned."""
+
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+from opus_tpu.models.multistream import OpusMSEncoder, OpusMSDecoder
+from opus_tpu.models.projection import (OpusProjectionEncoder,
+                                        OpusProjectionDecoder,
+                                        _ORDER_MATRICES, _matrix)
+from opus_tpu.utils.soft_clip import float2int16
+
+_LIB = os.path.join(os.path.dirname(__file__), os.pardir,
+                    ".ref_build", "libopus_full.so")
+
+pytestmark = pytest.mark.skipif(not os.path.exists(_LIB),
+                                reason="reference libopus not built")
+
+
+def _lib():
+    lib = ctypes.CDLL(_LIB)
+    lib.opus_multistream_decoder_create.restype = ctypes.c_void_p
+    lib.opus_multistream_decode.restype = ctypes.c_int
+    lib.opus_multistream_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int]
+    lib.opus_projection_decoder_create.restype = ctypes.c_void_p
+    lib.opus_projection_decode.restype = ctypes.c_int
+    lib.opus_projection_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int]
+    return lib
+
+
+def _sig(fs, channels, seconds=0.4, seed=3):
+    rng = np.random.default_rng(seed)
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    out = np.zeros((n, channels))
+    for c in range(channels):
+        f = 220 * (c + 1)
+        out[:, c] = (0.2 * np.sin(2 * np.pi * f * t)
+                     + 0.02 * rng.standard_normal(n))
+    return np.clip(out, -1, 1).reshape(-1)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 6])
+def test_multistream_ref_parity(channels):
+    fs, frame = 48000, 960
+    enc = OpusMSEncoder.create_surround(fs, channels)
+    enc.set_bitrate(64000 * channels)
+    dec = OpusMSDecoder(fs, channels, enc.streams, enc.coupled_streams,
+                        enc.mapping)
+    lib = _lib()
+    err = ctypes.c_int()
+    mapping_c = (ctypes.c_ubyte * channels)(*enc.mapping)
+    rdec = lib.opus_multistream_decoder_create(
+        fs, channels, enc.streams, enc.coupled_streams, mapping_c,
+        ctypes.byref(err))
+    assert err.value == 0
+    pcm = _sig(fs, channels)
+    nframes = len(pcm) // (frame * channels)
+    for i in range(nframes):
+        x = pcm[i * frame * channels:(i + 1) * frame * channels]
+        p = enc.encode(x, frame)
+        ours = float2int16(dec.decode(p))
+        buf = (ctypes.c_int16 * (frame * channels))()
+        n = lib.opus_multistream_decode(rdec, p, len(p), buf, frame, 0)
+        assert n == frame, f"frame {i}: reference decode returned {n}"
+        ref = np.asarray(buf[:], dtype=np.int64)
+        assert np.abs(ours.astype(np.int64) - ref).max() <= 1, \
+            f"frame {i}: multistream parity failure"
+
+
+@pytest.mark.parametrize("order_plus_one", sorted(_ORDER_MATRICES))
+def test_projection_matrix_conditioning(order_plus_one):
+    """demix @ mix must be ~identity on the ambisonic channels
+    (reference: test_opus_projection.c matrix tests)."""
+    mix, demix = _ORDER_MATRICES[order_plus_one]
+    M = _matrix(mix)      # [internal, acn(+2)]
+    D = _matrix(demix)    # [acn(+2), internal]
+    n = order_plus_one * order_plus_one
+    # demix tables with large dynamic range are stored rescaled to fit
+    # int16; the S7.8 dB gain field compensates (mapping_matrix.h:43)
+    gain = 10.0 ** (demix["gain"] / 256.0 / 20.0)
+    prod = gain * (D[:n, :] @ M[:, :n])
+    err = np.abs(prod - np.eye(n)).max()
+    assert err < 2e-3, f"order {order_plus_one - 1}: demix@mix err {err}"
+
+
+def test_projection_ref_parity():
+    fs, frame, channels = 48000, 960, 4
+    enc = OpusProjectionEncoder(fs, channels)
+    enc.set_bitrate(256000)
+    dm = enc.get_demixing_matrix()
+    dec = OpusProjectionDecoder(fs, channels, enc.streams,
+                                enc.coupled_streams, dm)
+    lib = _lib()
+    err = ctypes.c_int()
+    rdec = lib.opus_projection_decoder_create(
+        fs, channels, enc.streams, enc.coupled_streams,
+        (ctypes.c_ubyte * len(dm)).from_buffer_copy(dm), len(dm),
+        ctypes.byref(err))
+    assert err.value == 0, f"projection decoder create failed ({err.value})"
+    pcm = _sig(fs, channels)
+    nframes = len(pcm) // (frame * channels)
+    for i in range(nframes):
+        x = pcm[i * frame * channels:(i + 1) * frame * channels]
+        p = enc.encode(x, frame)
+        ours = dec.decode_int16(p)
+        buf = (ctypes.c_int16 * (frame * channels))()
+        n = lib.opus_projection_decode(rdec, p, len(p), buf, frame, 0)
+        assert n == frame, f"frame {i}: reference decode returned {n}"
+        ref = np.asarray(buf[:], dtype=np.int64)
+        assert np.abs(ours.astype(np.int64) - ref).max() <= 1, \
+            f"frame {i}: projection parity failure"
+
+
+def test_projection_reconstruction_energy():
+    """End-to-end FOA round trip keeps most of the signal energy
+    (reference: test_opus_projection.c energy checks)."""
+    fs, frame, channels = 48000, 960, 4
+    enc = OpusProjectionEncoder(fs, channels)
+    enc.set_bitrate(384000)
+    dec = OpusProjectionDecoder(fs, channels, enc.streams,
+                                enc.coupled_streams,
+                                enc.get_demixing_matrix())
+    pcm = _sig(fs, channels, seconds=0.4)
+    nframes = len(pcm) // (frame * channels)
+    outs = []
+    for i in range(nframes):
+        x = pcm[i * frame * channels:(i + 1) * frame * channels]
+        outs.append(dec.decode(enc.encode(x, frame)))
+    out = np.concatenate(outs)
+    # skip codec warmup / lookahead region, compare steady-state energy
+    a = pcm[frame * channels * 2:]
+    b = out[frame * channels * 2:]
+    ea, eb = np.sum(a * a), np.sum(b * b)
+    assert eb > 0.25 * ea and eb < 4 * ea, (ea, eb)
