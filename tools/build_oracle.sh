@@ -60,4 +60,17 @@ gcc -shared -o "$BUILD/libopus_full.so" \
     -Wl,--whole-archive "$REPO/.ref_build_pic/libopus.a" \
     -Wl,--no-whole-archive -lm
 
+
+
+# NN runtime oracle (layer zoo + weight-blob parser, generic C kernels;
+# -U__SSE2__ forces the portable vec.h path so results match the spec'd
+# scalar semantics; -DFARGAN_H skips the tarball-dependent fargan header)
+gcc -O2 -fPIC -shared -DVAR_ARRAYS -U__AVX__ -U__SSE2__ -U__SSE__ \
+    -DFARGAN_H -DFARGAN_MAX_RNN_NEURONS=1536 \
+    -I"$REPO/tools/nnet_oracle_inc" -I"$BUILD/oracle_inc" \
+    -I"$REF/include" -I"$REF/celt" -I"$REF/dnn" -I"$REF/src" \
+    "$REF/dnn/nnet.c" "$REF/dnn/nnet_default.c" \
+    "$REF/dnn/parse_lpcnet_weights.c" \
+    -o "$BUILD/libnnet_oracle.so" -lm
+
 echo "oracle build ok"
