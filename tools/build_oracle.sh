@@ -74,3 +74,25 @@ gcc -O2 -fPIC -shared -DVAR_ARRAYS -U__AVX__ -U__SSE2__ -U__SSE__ \
     -o "$BUILD/libnnet_oracle.so" -lm
 
 echo "oracle build ok"
+
+# RDOVAE oracle (DRED encoder/decoder networks, random-weight parity)
+gcc -O2 -fPIC -shared -DVAR_ARRAYS -U__AVX__ -U__SSE2__ -U__SSE__ \
+    -DFARGAN_H -DFARGAN_MAX_RNN_NEURONS=1536 \
+    -I"$REPO/tools/rdovae_oracle_inc" -I"$REPO/tools/nnet_oracle_inc" -I"$BUILD/oracle_inc" \
+    -I"$REF/include" -I"$REF/celt" -I"$REF/dnn" -I"$REF/src" \
+    "$REPO/tools/rdovae_oracle_shim.c" \
+    "$REF/dnn/dred_rdovae_enc.c" "$REF/dnn/dred_rdovae_dec.c" \
+    "$REF/dnn/nnet.c" "$REF/dnn/nnet_default.c" \
+    "$REF/dnn/parse_lpcnet_weights.c" \
+    -o "$BUILD/librdovae_oracle.so" -lm
+
+# LPCNet features + pitch DNN + FARGAN oracle
+gcc -O2 -fPIC -shared -DVAR_ARRAYS -U__AVX__ -U__SSE2__ -U__SSE__ -DUSE_WEIGHTS_FILE \
+    -I"$REPO/tools/dnn_oracle_inc" -I"$REPO/tools/rdovae_oracle_inc" -I"$BUILD/oracle_inc" \
+    -I"$REF/include" -I"$REF/celt" -I"$REF/dnn" -I"$REF/src" \
+    "$REPO/tools/dnn_oracle_shim.c" \
+    "$REF/dnn/lpcnet_enc.c" "$REF/dnn/freq.c" "$REF/dnn/burg.c" \
+    "$REF/dnn/pitchdnn.c" "$REF/dnn/lpcnet_tables.c" "$REF/dnn/fargan.c" \
+    "$REF/celt/kiss_fft.c" "$REF/celt/celt_lpc.c" "$REF/celt/pitch.c" "$REF/celt/mathops.c" \
+    "$REF/dnn/nnet.c" "$REF/dnn/nnet_default.c" "$REF/dnn/parse_lpcnet_weights.c" \
+    -o "$BUILD/libdnn_oracle.so" -lm
