@@ -110,3 +110,28 @@ void fargan_oracle_synthesize(void *st, float *pcm,
 {
   fargan_synthesize((FARGANState *)st, pcm, features);
 }
+
+/* --- deep PLC wrappers --- */
+
+void *plc_oracle_create(const void *blob, int len)
+{
+  LPCNetPLCState *st = calloc(1, sizeof(LPCNetPLCState));
+  if (lpcnet_plc_init(st)) { free(st); return NULL; }
+  if (lpcnet_plc_load_model(st, blob, len)) { free(st); return NULL; }
+  return st;
+}
+
+void plc_oracle_update(void *st, short *pcm)
+{
+  lpcnet_plc_update((LPCNetPLCState *)st, pcm);
+}
+
+void plc_oracle_conceal(void *st, short *pcm)
+{
+  lpcnet_plc_conceal((LPCNetPLCState *)st, pcm);
+}
+
+void plc_oracle_fec_add(void *st, const float *features)
+{
+  lpcnet_plc_fec_add((LPCNetPLCState *)st, features);
+}
