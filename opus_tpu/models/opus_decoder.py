@@ -39,6 +39,50 @@ class OpusDecoder:
         self.mode = 0
         self.bandwidth = 0
         self.softclip_mem = np.zeros(channels, dtype=np.float32)
+        # deep PLC / DRED recovery (reference: st->lpcnet,
+        # src/opus_decoder.c:735-760, :1611)
+        self.lpcnet = None
+        self._dred_resampler = None
+
+    def load_deep_plc(self, plc_model, pitch_model, fargan_model):
+        """Attach the neural PLC models (reference: OPUS_SET_DNN_BLOB
+        path, complexity>=5 deep PLC)."""
+        from ..dnn.plc import LPCNetPLC
+        self.lpcnet = LPCNetPLC(plc_model, pitch_model, fargan_model)
+
+    def dred_decode(self, dred, dred_offset: int,
+                    frame_size: int) -> np.ndarray:
+        """Synthesize concealment audio from processed DRED data
+        (reference: opus_decoder_dred_decode src/opus_decoder.c:1611).
+        dred_offset in samples at self.fs.  Returns int16
+        [frame_size*channels]; the neural vocoder is mono -- stereo
+        output duplicates the channel, as deep PLC does for SILK mono
+        content."""
+        from ..dnn.dred_dec import feed_dred_fec
+        from ..silk.resampler import Resampler
+        if self.lpcnet is None:
+            raise RuntimeError("deep PLC models not loaded")
+        if frame_size <= 0:
+            raise ValueError("bad frame size")
+        feed_dred_fec(self.lpcnet, dred, dred_offset, self.fs,
+                      frame_size)
+        n10 = max(1, frame_size // (self.fs // 100))
+        out16 = np.zeros(160, np.int16)
+        pieces = []
+        if self._dred_resampler is None and self.fs != 16000:
+            self._dred_resampler = Resampler(16000, self.fs)
+        for _ in range(n10):
+            self.lpcnet.conceal(out16)
+            if self.fs == 16000:
+                pieces.append(out16.copy())
+            else:
+                pieces.append(np.asarray(
+                    self._dred_resampler.process(out16.tolist()),
+                    np.int16))
+        mono = np.concatenate(pieces)[:frame_size]
+        if self.channels == 2:
+            return np.repeat(mono, 2)
+        return mono
 
     def decode(self, data: bytes | None, frame_size: int | None = None,
                decode_fec: bool = False) -> np.ndarray:

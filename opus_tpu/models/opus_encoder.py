@@ -233,6 +233,11 @@ class OpusEncoder:
         self.rangeFinal = 0
         self.nonfinal_frame = 0
         self.peak_signal_energy = 0.0
+        # DRED deep redundancy (reference: ENABLE_DRED regions,
+        # src/opus_encoder.c:2028-2041, :2604-2644)
+        self.dred = None
+        self.dred_duration = 0
+        self.activity_mem = None
 
     # -- ctl-style setters ------------------------------------------------
     def set_bitrate(self, bitrate):
@@ -250,6 +255,60 @@ class OpusEncoder:
 
     def set_force_mode(self, mode):
         self.user_forced_mode = mode
+
+    def enable_dred(self, enc_model, pitch_model, stats,
+                    duration_frames_10ms: int):
+        """Attach DRED (reference: OPUS_SET_DRED_DURATION
+        opus_defines.h + dred_encoder_init).  duration in 10 ms
+        frames, up to 100 (1 second)."""
+        from ..dnn.dred_enc import DREDEnc
+        from ..dnn import dred as dredmod
+        import numpy as _np
+        if not 0 <= duration_frames_10ms <= 104:
+            raise ValueError("bad DRED duration")
+        self.dred = DREDEnc(self.fs, self.channels, enc_model,
+                            pitch_model, stats)
+        self.dred_duration = duration_frames_10ms
+        self.activity_mem = _np.zeros(4 * dredmod.DRED_MAX_FRAMES,
+                                      _np.uint8)
+
+    def _attach_dred(self, packet: bytes, max_data_bytes: int) -> bytes:
+        """Build and append the DRED extension payload (reference:
+        src/opus_encoder.c:2604-2644)."""
+        from ..dnn import dred as dredmod
+        from ..dnn.dred_dec import DRED_EXPERIMENTAL_BYTES
+        from ..bitstream.repacketizer import Repacketizer
+        from ..bitstream.extensions import ExtensionData
+        dred_chunks = min((self.dred_duration + 5) // 4,
+                          dredmod.DRED_NUM_REDUNDANCY_FRAMES // 2)
+        dred_bytes_left = min(dredmod.DRED_MAX_DATA_SIZE,
+                              max_data_bytes - len(packet) - 3)
+        dred_bytes_left -= (dred_bytes_left + 1
+                            + DRED_EXPERIMENTAL_BYTES) // 255
+        if dred_chunks < 1 or dred_bytes_left < \
+                dredmod.DRED_MIN_BYTES + DRED_EXPERIMENTAL_BYTES:
+            return packet
+        # q0/dQ from rate (reference: compute_dred_bitrate :710-712)
+        bitrate = self.bitrate or self._default_bitrate(
+            self.prev_framesize or self.fs // 50)
+        rate_off = bitrate - 12000
+        q0 = min(15, max(4, 51 - 3 * max(1, rate_off).bit_length()))
+        dq = 3 if rate_off > 36000 else 5
+        payload = self.dred.encode_payload(
+            self.activity_mem, dred_chunks,
+            dred_bytes_left - DRED_EXPERIMENTAL_BYTES, q0=q0, dq=dq)
+        if payload is None:
+            return packet
+        ext = ExtensionData(
+            id=dredmod.DRED_EXTENSION_ID, frame=0,
+            data=bytes([ord('D'), dredmod.DRED_EXPERIMENTAL_VERSION])
+            + payload)
+        rp = Repacketizer()
+        if rp.cat(packet) != 0:
+            return packet
+        out = rp.out_range(0, rp.nb_frames, max_data_bytes,
+                           pad=not self.vbr, extensions=[ext])
+        return out if isinstance(out, bytes) else packet
 
     def _default_bitrate(self, frame_size):
         # (reference: user_bitrate_to_bitrate, OPUS_AUTO case)
@@ -503,6 +562,14 @@ class OpusEncoder:
         silk_internal_rate = 16000
         silk_bytes = 0
         activity = 1 if not is_silence else 0
+        # DRED latents, before SILK because of DTX (reference :2028-2041)
+        if self.dred is not None and self.dred_duration > 0:
+            f400 = frame_size * 400 // fs
+            self.dred.compute_latents(
+                pcm_buf[total_buffer * channels:], frame_size,
+                extra_delay=total_buffer)
+            self.activity_mem[f400:] = self.activity_mem[:-f400].copy()
+            self.activity_mem[:f400] = activity
         if mode != MODE_CELT_ONLY:
             total_bitrate = bits_to_bitrate(bits_target, fs, frame_size)
             if mode == MODE_HYBRID:
@@ -791,6 +858,10 @@ class OpusEncoder:
             payload = bytes(enc.buf[:ret])
         packet = bytes([toc]) + payload + red_data
 
+        if self.dred is not None and self.dred_duration > 0:
+            with_dred = self._attach_dred(packet, max_data_bytes)
+            if len(with_dred) > len(packet):
+                return with_dred
         if not self.vbr:
             packet = pkt.packet_pad(packet, max_data_bytes)
         return packet
