@@ -135,3 +135,84 @@ void plc_oracle_fec_add(void *st, const float *features)
 {
   lpcnet_plc_fec_add((LPCNetPLCState *)st, features);
 }
+
+/* --- nndsp wrappers (adaconv / adacomb / adashape) --- */
+
+#include "nndsp.h"
+
+typedef struct {
+  AdaConvState conv;
+  AdaCombState comb;
+  AdaShapeState shape;
+  LinearLayer kernel_layer, gain_layer, global_gain_layer;
+  LinearLayer alpha1f, alpha1t, alpha2;
+  float window[ADACONV_MAX_OVERLAP_SIZE];
+  WeightArray *arrays;
+} NndspHandle;
+
+void *nndsp_oracle_create(const void *blob, int len, int feature_dim,
+                          int kernel_out, int gain_out, int overlap_size,
+                          int shape_frame_size, int shape_tenv)
+{
+  NndspHandle *h = calloc(1, sizeof(*h));
+  if (parse_weights(&h->arrays, blob, len) < 0) { free(h); return NULL; }
+  if (linear_init(&h->kernel_layer, h->arrays, "kernel_bias", NULL, NULL,
+      "kernel_weights_float", NULL, NULL, NULL, feature_dim, kernel_out))
+    { free(h); return NULL; }
+  if (linear_init(&h->gain_layer, h->arrays, "gain_bias", NULL, NULL,
+      "gain_weights_float", NULL, NULL, NULL, feature_dim, gain_out))
+    { free(h); return NULL; }
+  if (linear_init(&h->global_gain_layer, h->arrays, "ggain_bias", NULL,
+      NULL, "ggain_weights_float", NULL, NULL, NULL, feature_dim, 1))
+    { free(h); return NULL; }
+  if (linear_init(&h->alpha1f, h->arrays, "alpha1f_bias", NULL, NULL,
+      "alpha1f_weights_float", NULL, NULL, NULL, 2*feature_dim,
+      shape_frame_size)) { free(h); return NULL; }
+  if (linear_init(&h->alpha1t, h->arrays, "alpha1t_bias", NULL, NULL,
+      "alpha1t_weights_float", NULL, NULL, NULL, 2*(shape_tenv+1),
+      shape_frame_size)) { free(h); return NULL; }
+  if (linear_init(&h->alpha2, h->arrays, "alpha2_bias", NULL, NULL,
+      "alpha2_weights_float", NULL, NULL, NULL, 2*shape_frame_size,
+      shape_frame_size)) { free(h); return NULL; }
+  init_adaconv_state(&h->conv);
+  init_adacomb_state(&h->comb);
+  init_adashape_state(&h->shape);
+  compute_overlap_window(h->window, overlap_size);
+  return h;
+}
+
+void nndsp_oracle_adaconv(void *hp, float *x_out, const float *x_in,
+                          const float *features, int feature_dim,
+                          int frame_size, int overlap, int in_ch,
+                          int out_ch, int ksize, float ga, float gb)
+{
+  NndspHandle *h = (NndspHandle *)hp;
+  adaconv_process_frame(&h->conv, x_out, x_in, features,
+                        &h->kernel_layer, &h->gain_layer, feature_dim,
+                        frame_size, overlap, in_ch, out_ch, ksize,
+                        ksize - 1, ga, gb, 1.f, h->window, 0);
+}
+
+void nndsp_oracle_adacomb(void *hp, float *x_out, const float *x_in,
+                          const float *features, int pitch_lag,
+                          int feature_dim, int frame_size, int overlap,
+                          int ksize, int left_padding, float ga,
+                          float gb, float log_gain_limit)
+{
+  NndspHandle *h = (NndspHandle *)hp;
+  adacomb_process_frame(&h->comb, x_out, x_in, features,
+                        &h->kernel_layer, &h->gain_layer,
+                        &h->global_gain_layer, pitch_lag, feature_dim,
+                        frame_size, overlap, ksize, left_padding, ga,
+                        gb, log_gain_limit, h->window, 0);
+}
+
+void nndsp_oracle_adashape(void *hp, float *x_out, const float *x_in,
+                           const float *features, int feature_dim,
+                           int frame_size, int avg_pool_k)
+{
+  NndspHandle *h = (NndspHandle *)hp;
+  adashape_process_frame(&h->shape, x_out, x_in, features, &h->alpha1f,
+                         &h->alpha1t, &h->alpha2, feature_dim,
+                         frame_size, avg_pool_k, 1, 0);
+}
