@@ -20,27 +20,33 @@ from . import nndsp
 from . import nnet as nn
 from .weights import linear_params, WeightArray, WEIGHT_TYPE_FLOAT
 
-NUM_FEATURES = 47
-PITCH_MAX = 257
+# Deployed model hyperparameters (dnn/torch/osce/utils/templates.py
+# lace_setup / nolace_setup): 93 features, pitch_max 300, hidden 96,
+# LACE cond 128, NoLACE cond 256, comb gain limit +10 dB, conv gain
+# limits +-12 dB, global comb gains +-6 dB.
+NUM_FEATURES = 93
+PITCH_MAX = 300
 PITCH_EMBEDDING_DIM = 64
 NUMBITS_EMBEDDING_DIM = 8
-COND_DIM = 256
-HIDDEN_FEATURE_DIM = 64
+LACE_COND_DIM = 128
+NOLACE_COND_DIM = 256
+HIDDEN_FEATURE_DIM = 96
 FRAME_SIZE = 80          # 5 ms subframe at 16 kHz
 OVERLAP_SIZE = 40
 KERNEL_SIZE = 16         # 15 padded to 16 by the quantized export
 COMB_LEFT_PADDING = 8    # 15//2 + 1 padding
 CONV_LEFT_PADDING = KERNEL_SIZE - 1
 PREEMPH = 0.85
-# gain limits: +-6 dB -> a=(log_max-log_min)/2 with log = db*ln(10)/20
 _DB = 0.11512925464970229
-GAIN_A = 6 * _DB
-GAIN_B = 0.0
-LOG_GAIN_LIMIT = -6 * _DB
+COMB_GAIN_A = 6 * _DB            # global comb gain +-6 dB
+COMB_GAIN_B = 0.0
+CONV_GAIN_A = 12 * _DB           # adaptive conv gains +-12 dB
+CONV_GAIN_B = 0.0
+LOG_GAIN_LIMIT = 10 * _DB        # comb per-tap gain limit +10 dB
 NUMBITS_RANGE = (50.0, 650.0)
 TDSHAPE_AVG_POOL_K = 4
 _FNET_IN = NUM_FEATURES + PITCH_EMBEDDING_DIM \
-    + 2 * NUMBITS_EMBEDDING_DIM                       # 127
+    + 2 * NUMBITS_EMBEDDING_DIM                       # 173
 
 
 def numbits_embedding(numbits: float,
@@ -117,8 +123,8 @@ class NoLACEModel(NamedTuple):
 
 
 class FeatureNetState(NamedTuple):
-    conv2_mem: np.ndarray          # [256]
-    gru: np.ndarray                # [256]
+    conv2_mem: np.ndarray          # [4*hidden] (k=2 conv memory)
+    gru: np.ndarray                # [cond_dim]
 
 
 class LACEState(NamedTuple):
@@ -152,19 +158,20 @@ class NoLACEState(NamedTuple):
 
 def lace_init_state() -> LACEState:
     return LACEState(
-        FeatureNetState(np.zeros(COND_DIM, np.float32),
-                        np.zeros(COND_DIM, np.float32)),
+        FeatureNetState(np.zeros(4 * HIDDEN_FEATURE_DIM, np.float32),
+                        np.zeros(LACE_COND_DIM, np.float32)),
         nndsp.adacomb_init(KERNEL_SIZE), nndsp.adacomb_init(KERNEL_SIZE),
         nndsp.adaconv_init(1, 1, KERNEL_SIZE), 0.0, 0.0)
 
 
 def nolace_init_state() -> NoLACEState:
     def shape_state():
-        return nndsp.adashape_init(COND_DIM, FRAME_SIZE,
+        return nndsp.adashape_init(NOLACE_COND_DIM, FRAME_SIZE,
                                    TDSHAPE_AVG_POOL_K)
-    z = lambda: np.zeros(COND_DIM, np.float32)
+    z = lambda: np.zeros(NOLACE_COND_DIM, np.float32)
     return NoLACEState(
-        FeatureNetState(z(), z()),
+        FeatureNetState(np.zeros(4 * HIDDEN_FEATURE_DIM, np.float32),
+                        z()),
         nndsp.adacomb_init(KERNEL_SIZE), nndsp.adacomb_init(KERNEL_SIZE),
         nndsp.adaconv_init(1, 2, KERNEL_SIZE),
         nndsp.adaconv_init(2, 2, KERNEL_SIZE),
@@ -194,16 +201,17 @@ def feature_net(model, state: FeatureNetState, features: np.ndarray,
             model.pitch_embedding[int(periods[sf])], nb_emb])
         hidden.append(np.asarray(
             nn.dense(fn.conv1, row, nn.ACTIVATION_TANH), np.float32))
-    frame_vec = np.concatenate(hidden)               # [4*64]
+    frame_vec = np.concatenate(hidden)               # [4*hidden]
     c2, conv2_mem = nn.conv1d(fn.conv2, state.conv2_mem, frame_vec,
                               nn.ACTIVATION_TANH)
+    cond_dim = state.gru.shape[-1]
     up = np.asarray(nn.dense(fn.tconv, np.asarray(c2, np.float32),
                              nn.ACTIVATION_TANH), np.float32)
     gru = state.gru
-    cond = np.empty((4, COND_DIM), np.float32)
+    cond = np.empty((4, cond_dim), np.float32)
     for sf in range(4):
         gru = np.asarray(nn.gru(fn.gru_input, fn.gru_recurrent, gru,
-                                up[sf * COND_DIM:(sf + 1) * COND_DIM]),
+                                up[sf * cond_dim:(sf + 1) * cond_dim]),
                          np.float32)
         cond[sf] = gru
     return FeatureNetState(np.asarray(conv2_mem, np.float32), gru), cond
@@ -227,21 +235,21 @@ def lace_process_frame(model: LACEModel, state: LACEState,
         cf1, x[seg] = nndsp.adacomb_process_frame(
             cf1, x[seg], cond[sf], model.cf1.kernel, model.cf1.gain,
             model.cf1.global_gain, int(periods[sf]), FRAME_SIZE,
-            OVERLAP_SIZE, KERNEL_SIZE, COMB_LEFT_PADDING, GAIN_A,
-            GAIN_B, LOG_GAIN_LIMIT, _WINDOW)
+            OVERLAP_SIZE, KERNEL_SIZE, COMB_LEFT_PADDING, COMB_GAIN_A,
+            COMB_GAIN_B, LOG_GAIN_LIMIT, _WINDOW)
     for sf in range(4):
         seg = slice(sf * FRAME_SIZE, (sf + 1) * FRAME_SIZE)
         cf2, x[seg] = nndsp.adacomb_process_frame(
             cf2, x[seg], cond[sf], model.cf2.kernel, model.cf2.gain,
             model.cf2.global_gain, int(periods[sf]), FRAME_SIZE,
-            OVERLAP_SIZE, KERNEL_SIZE, COMB_LEFT_PADDING, GAIN_A,
-            GAIN_B, LOG_GAIN_LIMIT, _WINDOW)
+            OVERLAP_SIZE, KERNEL_SIZE, COMB_LEFT_PADDING, COMB_GAIN_A,
+            COMB_GAIN_B, LOG_GAIN_LIMIT, _WINDOW)
     for sf in range(4):
         seg = slice(sf * FRAME_SIZE, (sf + 1) * FRAME_SIZE)
         af1, x[seg] = nndsp.adaconv_process_frame(
             af1, x[seg], cond[sf], model.af1.kernel, model.af1.gain,
             FRAME_SIZE, OVERLAP_SIZE, 1, 1, KERNEL_SIZE,
-            CONV_LEFT_PADDING, GAIN_A, GAIN_B, _WINDOW)
+            CONV_LEFT_PADDING, CONV_GAIN_A, CONV_GAIN_B, _WINDOW)
     out = np.empty(4 * FRAME_SIZE, np.float32)
     de = state.deemph_mem
     for i in range(4 * FRAME_SIZE):
@@ -278,8 +286,8 @@ def nolace_process_frame(model: NoLACEModel, state: NoLACEState,
         cf1, x1[seg] = nndsp.adacomb_process_frame(
             cf1, x1[seg], cond[sf], model.cf1.kernel, model.cf1.gain,
             model.cf1.global_gain, int(periods[sf]), FRAME_SIZE,
-            OVERLAP_SIZE, KERNEL_SIZE, COMB_LEFT_PADDING, GAIN_A,
-            GAIN_B, LOG_GAIN_LIMIT, _WINDOW)
+            OVERLAP_SIZE, KERNEL_SIZE, COMB_LEFT_PADDING, COMB_GAIN_A,
+            COMB_GAIN_B, LOG_GAIN_LIMIT, _WINDOW)
         cond2[sf], post_cf1_mem = post(model.post_cf1, post_cf1_mem,
                                        cond[sf])
     cond = cond2
@@ -291,8 +299,8 @@ def nolace_process_frame(model: NoLACEModel, state: NoLACEState,
         cf2, x1[seg] = nndsp.adacomb_process_frame(
             cf2, x1[seg], cond[sf], model.cf2.kernel, model.cf2.gain,
             model.cf2.global_gain, int(periods[sf]), FRAME_SIZE,
-            OVERLAP_SIZE, KERNEL_SIZE, COMB_LEFT_PADDING, GAIN_A,
-            GAIN_B, LOG_GAIN_LIMIT, _WINDOW)
+            OVERLAP_SIZE, KERNEL_SIZE, COMB_LEFT_PADDING, COMB_GAIN_A,
+            COMB_GAIN_B, LOG_GAIN_LIMIT, _WINDOW)
         cond2[sf], post_cf2_mem = post(model.post_cf2, post_cf2_mem,
                                        cond[sf])
     cond = cond2
@@ -306,7 +314,7 @@ def nolace_process_frame(model: NoLACEModel, state: NoLACEState,
         af1, x2[seg2] = nndsp.adaconv_process_frame(
             af1, x1[seg1], cond[sf], model.af1.kernel, model.af1.gain,
             FRAME_SIZE, OVERLAP_SIZE, 1, 2, KERNEL_SIZE,
-            CONV_LEFT_PADDING, GAIN_A, GAIN_B, _WINDOW)
+            CONV_LEFT_PADDING, CONV_GAIN_A, CONV_GAIN_B, _WINDOW)
         cond2[sf], post_af1_mem = post(model.post_af1, post_af1_mem,
                                        cond[sf])
     cond = cond2
@@ -328,7 +336,7 @@ def nolace_process_frame(model: NoLACEModel, state: NoLACEState,
                 af_state, x_src[slice(base, base + 2 * FRAME_SIZE)],
                 cond[sf], af_layer.kernel, af_layer.gain, FRAME_SIZE,
                 OVERLAP_SIZE, 2, out_ch, KERNEL_SIZE,
-                CONV_LEFT_PADDING, GAIN_A, GAIN_B, _WINDOW)
+                CONV_LEFT_PADDING, CONV_GAIN_A, CONV_GAIN_B, _WINDOW)
             if post_layer is not None:
                 cond2[sf], post_mem = post(post_layer, post_mem,
                                            cond[sf])
@@ -369,56 +377,57 @@ def _rl(rng, m, n, bias=True):
     return nn.np_linear(w, b)
 
 
-def _random_fnet(rng) -> FeatureNet:
+def _random_fnet(rng, cond) -> FeatureNet:
     return FeatureNet(_rl(rng, _FNET_IN, HIDDEN_FEATURE_DIM),
-                      _rl(rng, 2 * 4 * HIDDEN_FEATURE_DIM, COND_DIM),
-                      _rl(rng, COND_DIM, 4 * COND_DIM),
-                      _rl(rng, COND_DIM, 3 * COND_DIM),
-                      _rl(rng, COND_DIM, 3 * COND_DIM))
+                      _rl(rng, 2 * 4 * HIDDEN_FEATURE_DIM, cond),
+                      _rl(rng, cond, 4 * cond),
+                      _rl(rng, cond, 3 * cond),
+                      _rl(rng, cond, 3 * cond))
 
 
-def _random_comb(rng) -> AdaCombLayer:
-    return AdaCombLayer(_rl(rng, COND_DIM, KERNEL_SIZE),
-                        _rl(rng, COND_DIM, 1), _rl(rng, COND_DIM, 1))
+def _random_comb(rng, cond) -> AdaCombLayer:
+    return AdaCombLayer(_rl(rng, cond, KERNEL_SIZE),
+                        _rl(rng, cond, 1), _rl(rng, cond, 1))
 
 
-def _random_conv(rng, in_ch, out_ch) -> AdaConvLayer:
+def _random_conv(rng, cond, in_ch, out_ch) -> AdaConvLayer:
     return AdaConvLayer(
-        _rl(rng, COND_DIM, in_ch * out_ch * KERNEL_SIZE),
-        _rl(rng, COND_DIM, out_ch))
+        _rl(rng, cond, in_ch * out_ch * KERNEL_SIZE),
+        _rl(rng, cond, out_ch))
 
 
-def _random_shape(rng) -> AdaShapeLayer:
+def _random_shape(rng, cond) -> AdaShapeLayer:
     tenv = FRAME_SIZE // TDSHAPE_AVG_POOL_K
-    return AdaShapeLayer(_rl(rng, 2 * COND_DIM, FRAME_SIZE),
+    return AdaShapeLayer(_rl(rng, 2 * cond, FRAME_SIZE),
                          _rl(rng, 2 * (tenv + 1), FRAME_SIZE),
                          _rl(rng, 2 * FRAME_SIZE, FRAME_SIZE))
 
 
 def random_lace_model(seed=0) -> LACEModel:
     rng = np.random.default_rng(seed)
+    c = LACE_COND_DIM
     emb = (rng.standard_normal((PITCH_MAX + 1, PITCH_EMBEDDING_DIM))
            / 8).astype(np.float32)
-    return LACEModel(emb, default_numbits_scales(), _random_fnet(rng),
-                     _random_comb(rng), _random_comb(rng),
-                     _random_conv(rng, 1, 1))
+    return LACEModel(emb, default_numbits_scales(),
+                     _random_fnet(rng, c),
+                     _random_comb(rng, c), _random_comb(rng, c),
+                     _random_conv(rng, c, 1, 1))
 
 
 def random_nolace_model(seed=0) -> NoLACEModel:
     rng = np.random.default_rng(seed)
+    c = NOLACE_COND_DIM
     emb = (rng.standard_normal((PITCH_MAX + 1, PITCH_EMBEDDING_DIM))
            / 8).astype(np.float32)
     return NoLACEModel(
-        emb, default_numbits_scales(), _random_fnet(rng),
-        _random_comb(rng), _random_comb(rng),
-        _random_conv(rng, 1, 2), _random_conv(rng, 2, 2),
-        _random_conv(rng, 2, 2), _random_conv(rng, 2, 1),
-        _random_shape(rng), _random_shape(rng), _random_shape(rng),
-        _rl(rng, 2 * COND_DIM, COND_DIM),
-        _rl(rng, 2 * COND_DIM, COND_DIM),
-        _rl(rng, 2 * COND_DIM, COND_DIM),
-        _rl(rng, 2 * COND_DIM, COND_DIM),
-        _rl(rng, 2 * COND_DIM, COND_DIM))
+        emb, default_numbits_scales(), _random_fnet(rng, c),
+        _random_comb(rng, c), _random_comb(rng, c),
+        _random_conv(rng, c, 1, 2), _random_conv(rng, c, 2, 2),
+        _random_conv(rng, c, 2, 2), _random_conv(rng, c, 2, 1),
+        _random_shape(rng, c), _random_shape(rng, c),
+        _random_shape(rng, c),
+        _rl(rng, 2 * c, c), _rl(rng, 2 * c, c), _rl(rng, 2 * c, c),
+        _rl(rng, 2 * c, c), _rl(rng, 2 * c, c))
 
 
 def _put(out, name, lin):
@@ -476,3 +485,67 @@ def nolace_model_to_arrays(model: NoLACEModel):
                "post_af3"):
         _put(out, f"nolace_{nm}", getattr(model, nm))
     return out
+
+
+# ---------------------------------------------------------------------
+# decoder-side enhancer wrapper
+
+OSCE_METHOD_NONE = 0
+OSCE_METHOD_LACE = 1
+OSCE_METHOD_NOLACE = 2
+
+
+class OSCEEnhancer:
+    """Per-channel SILK output enhancer (reference: osce_enhance_frame
+    dnn/osce.c:1546 + osce_reset :1381).  Enhancement applies only to
+    16 kHz / 4-subframe (20 ms WB) frames; after a reset the first
+    frame passes through and the second cross-fades over 10 ms."""
+
+    def __init__(self, method: int, model):
+        from . import osce_features as OF
+        self._OF = OF
+        self.method = method
+        self.model = model
+        self.reset()
+
+    def reset(self):
+        self.features = self._OF.init_feature_state()
+        if self.method == OSCE_METHOD_LACE:
+            self.state = lace_init_state()
+        elif self.method == OSCE_METHOD_NOLACE:
+            self.state = nolace_init_state()
+        else:
+            self.state = None
+        self.reset_count = 2
+
+    def enhance_frame(self, xq, num_bits, pred_coef_q12, pitch_lags,
+                      ltp_coef_q14, gains_q16, signal_type, lpc_order,
+                      fs_khz, nb_subfr):
+        """Enhance 320 int16 samples in place; returns the new xq."""
+        OF = self._OF
+        if fs_khz != 16 or nb_subfr != 4:
+            self.reset()
+            return xq
+        self.features, feats, numbits, periods = OF.calculate_features(
+            self.features, xq, num_bits, pred_coef_q12, pitch_lags,
+            ltp_coef_q14, gains_q16, signal_type, lpc_order)
+        x_in = np.asarray(xq[:320], np.float32) / 32768.0
+        if self.method == OSCE_METHOD_LACE:
+            self.state, out = lace_process_frame(
+                self.model, self.state, x_in, feats, numbits, periods)
+        elif self.method == OSCE_METHOD_NOLACE:
+            self.state, out = nolace_process_frame(
+                self.model, self.state, x_in, feats, numbits, periods)
+        else:
+            out = x_in
+        if self.reset_count > 1:
+            out = x_in
+            self.reset_count -= 1
+        elif self.reset_count:
+            # 10 ms cross-fade (osce_cross_fade_10ms osce_features.c:545)
+            w = OF.OSCE_WINDOW[:160]
+            out = out.copy()
+            out[:160] = w * out[:160] + (1.0 - w) * x_in[:160]
+            self.reset_count = 0
+        tmp = np.clip(32768.0 * out, -32767.0, 32767.0)
+        return np.floor(0.5 + tmp).astype(np.int64)

@@ -44,6 +44,14 @@ class OpusDecoder:
         self.lpcnet = None
         self._dred_resampler = None
 
+    def set_osce(self, method: int, model) -> None:
+        """Enable LACE/NoLACE enhancement of SILK-WB output (reference:
+        osce method selection by decoder complexity,
+        src/opus_decoder.c:443-455; OSCE_METHOD_* in dnn/osce.h)."""
+        from ..dnn.osce import OSCEEnhancer
+        for cs in self.silk.channel_state:
+            cs.osce = OSCEEnhancer(method, model) if method else None
+
     def load_deep_plc(self, plc_model, pitch_model, fargan_model):
         """Attach the neural PLC models (reference: OPUS_SET_DNN_BLOB
         path, complexity>=5 deep PLC)."""

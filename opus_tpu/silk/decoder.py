@@ -710,6 +710,7 @@ class ChannelState:
             npulses = (L + SHELL_CODEC_FRAME_LENGTH - 1) \
                 & ~(SHELL_CODEC_FRAME_LENGTH - 1)
             pulses = [0] * npulses
+            ec_start = dec.tell()
             self.decode_indices(dec, self.nFramesDecoded, lost_flag,
                                 cond_coding)
             self.decode_pulses(dec, pulses, self.indices.signalType,
@@ -720,6 +721,16 @@ class ChannelState:
             mv_len = self.ltp_mem_length - L
             self.outBuf[:mv_len] = self.outBuf[L:L + mv_len]
             self.outBuf[mv_len:mv_len + L] = xq_out[:L]
+            # neural enhancement (reference: decode_frame.c:113 ->
+            # osce_enhance_frame dnn/osce.c:1546); runs after the
+            # outBuf update so PLC sees the unenhanced history
+            if getattr(self, "osce", None) is not None:
+                enhanced = self.osce.enhance_frame(
+                    xq_out, dec.tell() - ec_start, ctrl.PredCoef_Q12,
+                    ctrl.pitchL, ctrl.LTPCoef_Q14, ctrl.Gains_Q16,
+                    self.indices.signalType, self.LPC_order,
+                    self.fs_kHz, self.nb_subfr)
+                xq_out[:len(enhanced)] = [int(v) for v in enhanced]
             self.plc_update(ctrl)
             self.lossCnt = 0
             self.prevSignalType = self.indices.signalType

@@ -102,7 +102,7 @@ gcc -O2 -fPIC -shared -DVAR_ARRAYS -U__AVX__ -U__SSE2__ -U__SSE__ -DUSE_WEIGHTS_
 gcc -O2 -fPIC -shared -DVAR_ARRAYS -U__AVX__ -U__SSE2__ -U__SSE__ -DUSE_WEIGHTS_FILE -DDISABLE_BBWENET -DENABLE_OSCE \
     -I"$REPO/tools/osce_oracle_inc" -I"$REPO/tools/dnn_oracle_inc" -I"$REPO/tools/rdovae_oracle_inc" -I"$BUILD/oracle_inc" \
     -I"$REF/include" -I"$REF/celt" -I"$REF/dnn" -I"$REF/silk" -I"$REF/silk/float" -I"$REF/src" \
-    "$REPO/tools/osce_oracle_shim.c" "$REF/dnn/osce_features.c" \
+    "$REPO/tools/osce_oracle_shim.c" \
     "$REF/dnn/freq.c" "$REF/dnn/burg.c" "$REF/dnn/lpcnet_tables.c" \
     "$REF/dnn/nndsp.c" "$REF/dnn/nnet.c" "$REF/dnn/nnet_default.c" "$REF/dnn/parse_lpcnet_weights.c" \
     -o "$BUILD/libosce_oracle.so" -lm -L"$REPO/.ref_build_pic" -lopus

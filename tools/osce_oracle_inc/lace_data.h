@@ -1,20 +1,20 @@
-/* Stand-in for the generated lace data header; dims from
-   dnn/torch/osce/models/lace.py
-   with quantized-export kernel padding (15 -> 16). */
+/* Stand-in for the generated lace data header; dims from the
+   deployed model config (dnn/torch/osce/utils/templates.py) with
+   quantized-export kernel padding (15 -> 16). */
 #ifndef LACE_DATA_H
 #define LACE_DATA_H
 
 #include "nnet.h"
 
-#define LACE_NUM_FEATURES 47
+#define LACE_NUM_FEATURES 93
 #define LACE_PITCH_EMBEDDING_DIM 64
 #define LACE_NUMBITS_EMBEDDING_DIM 8
-#define LACE_COND_DIM 256
-#define LACE_HIDDEN_FEATURE_DIM 64
+#define LACE_COND_DIM 128
+#define LACE_HIDDEN_FEATURE_DIM 96
 #define LACE_FRAME_SIZE 80
 #define LACE_OVERLAP_SIZE 40
 #define LACE_PREEMPH 0.85f
-#define LACE_PITCH_MAX 257
+#define LACE_PITCH_MAX 300
 #define LACE_NUMBITS_RANGE_LOW 50
 #define LACE_NUMBITS_RANGE_HIGH 650
 #define LACE_NUMBITS_SCALE_0 1.224816640f
@@ -25,21 +25,21 @@
 #define LACE_NUMBITS_SCALE_5 7.348899840f
 #define LACE_NUMBITS_SCALE_6 8.573716479f
 #define LACE_NUMBITS_SCALE_7 9.798533119f
-#define LACE_FNET_CONV2_STATE_SIZE 256
-#define LACE_FNET_GRU_STATE_SIZE 256
+#define LACE_FNET_CONV2_STATE_SIZE 384
+#define LACE_FNET_GRU_STATE_SIZE 128
 #define LACE_CF1_KERNEL_SIZE 16
 #define LACE_CF1_LEFT_PADDING 8
 #define LACE_CF1_FILTER_GAIN_A 0.690776f
 #define LACE_CF1_FILTER_GAIN_B 0.000000f
-#define LACE_CF1_LOG_GAIN_LIMIT -0.690776f
+#define LACE_CF1_LOG_GAIN_LIMIT 1.151293f
 #define LACE_CF2_KERNEL_SIZE 16
 #define LACE_CF2_LEFT_PADDING 8
 #define LACE_CF2_FILTER_GAIN_A 0.690776f
 #define LACE_CF2_FILTER_GAIN_B 0.000000f
-#define LACE_CF2_LOG_GAIN_LIMIT -0.690776f
+#define LACE_CF2_LOG_GAIN_LIMIT 1.151293f
 #define LACE_AF1_KERNEL_SIZE 16
 #define LACE_AF1_LEFT_PADDING 15
-#define LACE_AF1_FILTER_GAIN_A 0.690776f
+#define LACE_AF1_FILTER_GAIN_A 1.381551f
 #define LACE_AF1_FILTER_GAIN_B 0.000000f
 #define LACE_AF1_SHAPE_GAIN 1.000000f
 #define LACE_AF1_IN_CHANNELS 1

@@ -1,20 +1,20 @@
-/* Stand-in for the generated nolace data header; dims from
-   dnn/torch/osce/models/no_lace.py
-   with quantized-export kernel padding (15 -> 16). */
+/* Stand-in for the generated nolace data header; dims from the
+   deployed model config (dnn/torch/osce/utils/templates.py) with
+   quantized-export kernel padding (15 -> 16). */
 #ifndef NOLACE_DATA_H
 #define NOLACE_DATA_H
 
 #include "nnet.h"
 
-#define NOLACE_NUM_FEATURES 47
+#define NOLACE_NUM_FEATURES 93
 #define NOLACE_PITCH_EMBEDDING_DIM 64
 #define NOLACE_NUMBITS_EMBEDDING_DIM 8
 #define NOLACE_COND_DIM 256
-#define NOLACE_HIDDEN_FEATURE_DIM 64
+#define NOLACE_HIDDEN_FEATURE_DIM 96
 #define NOLACE_FRAME_SIZE 80
 #define NOLACE_OVERLAP_SIZE 40
 #define NOLACE_PREEMPH 0.85f
-#define NOLACE_PITCH_MAX 257
+#define NOLACE_PITCH_MAX 300
 #define NOLACE_NUMBITS_RANGE_LOW 50
 #define NOLACE_NUMBITS_RANGE_HIGH 650
 #define NOLACE_NUMBITS_SCALE_0 1.224816640f
@@ -25,42 +25,42 @@
 #define NOLACE_NUMBITS_SCALE_5 7.348899840f
 #define NOLACE_NUMBITS_SCALE_6 8.573716479f
 #define NOLACE_NUMBITS_SCALE_7 9.798533119f
-#define NOLACE_FNET_CONV2_STATE_SIZE 256
+#define NOLACE_FNET_CONV2_STATE_SIZE 384
 #define NOLACE_FNET_GRU_STATE_SIZE 256
 #define NOLACE_CF1_KERNEL_SIZE 16
 #define NOLACE_CF1_LEFT_PADDING 8
 #define NOLACE_CF1_FILTER_GAIN_A 0.690776f
 #define NOLACE_CF1_FILTER_GAIN_B 0.000000f
-#define NOLACE_CF1_LOG_GAIN_LIMIT -0.690776f
+#define NOLACE_CF1_LOG_GAIN_LIMIT 1.151293f
 #define NOLACE_CF2_KERNEL_SIZE 16
 #define NOLACE_CF2_LEFT_PADDING 8
 #define NOLACE_CF2_FILTER_GAIN_A 0.690776f
 #define NOLACE_CF2_FILTER_GAIN_B 0.000000f
-#define NOLACE_CF2_LOG_GAIN_LIMIT -0.690776f
+#define NOLACE_CF2_LOG_GAIN_LIMIT 1.151293f
 #define NOLACE_AF1_KERNEL_SIZE 16
 #define NOLACE_AF1_LEFT_PADDING 15
-#define NOLACE_AF1_FILTER_GAIN_A 0.690776f
+#define NOLACE_AF1_FILTER_GAIN_A 1.381551f
 #define NOLACE_AF1_FILTER_GAIN_B 0.000000f
 #define NOLACE_AF1_SHAPE_GAIN 1.000000f
 #define NOLACE_AF1_IN_CHANNELS 1
 #define NOLACE_AF1_OUT_CHANNELS 2
 #define NOLACE_AF2_KERNEL_SIZE 16
 #define NOLACE_AF2_LEFT_PADDING 15
-#define NOLACE_AF2_FILTER_GAIN_A 0.690776f
+#define NOLACE_AF2_FILTER_GAIN_A 1.381551f
 #define NOLACE_AF2_FILTER_GAIN_B 0.000000f
 #define NOLACE_AF2_SHAPE_GAIN 1.000000f
 #define NOLACE_AF2_IN_CHANNELS 2
 #define NOLACE_AF2_OUT_CHANNELS 2
 #define NOLACE_AF3_KERNEL_SIZE 16
 #define NOLACE_AF3_LEFT_PADDING 15
-#define NOLACE_AF3_FILTER_GAIN_A 0.690776f
+#define NOLACE_AF3_FILTER_GAIN_A 1.381551f
 #define NOLACE_AF3_FILTER_GAIN_B 0.000000f
 #define NOLACE_AF3_SHAPE_GAIN 1.000000f
 #define NOLACE_AF3_IN_CHANNELS 2
 #define NOLACE_AF3_OUT_CHANNELS 2
 #define NOLACE_AF4_KERNEL_SIZE 16
 #define NOLACE_AF4_LEFT_PADDING 15
-#define NOLACE_AF4_FILTER_GAIN_A 0.690776f
+#define NOLACE_AF4_FILTER_GAIN_A 1.381551f
 #define NOLACE_AF4_FILTER_GAIN_B 0.000000f
 #define NOLACE_AF4_SHAPE_GAIN 1.000000f
 #define NOLACE_AF4_IN_CHANNELS 2

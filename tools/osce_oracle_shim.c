@@ -17,14 +17,16 @@
 
 static int init_fnet_common(LinearLayer *conv1, LinearLayer *conv2,
   LinearLayer *tconv, LinearLayer *gru_in, LinearLayer *gru_rec,
-  const WeightArray *arrays, const char *p)
+  const WeightArray *arrays, const char *p, int cond)
 {
   char name[64];
   LinearLayer *ls[5] = {conv1, conv2, tconv, gru_in, gru_rec};
   const char *suff[5] = {"fnet_conv1", "fnet_conv2", "fnet_tconv",
                          "fnet_gru_input", "fnet_gru_recurrent"};
-  int nin[5] = {127, 512, 256, 256, 256};
-  int nout[5] = {64, 256, 1024, 768, 768};
+  int nin[5] = {173, 2*4*96, 0, 0, 0};
+  int nout[5] = {96, 0, 0, 0, 0};
+  nout[1] = cond; nin[2] = cond; nout[2] = 4*cond;
+  nin[3] = cond; nout[3] = 3*cond; nin[4] = cond; nout[4] = 3*cond;
   int i;
   for (i = 0; i < 5; i++) {
     char wname[96], bname[96];
@@ -39,29 +41,29 @@ static int init_fnet_common(LinearLayer *conv1, LinearLayer *conv2,
 
 int init_lacelayers(LACELayers *layers, const WeightArray *arrays)
 {
-  LNB(lace_pitch_embedding, "lace_pitch_embedding", 64, 258)
+  LNB(lace_pitch_embedding, "lace_pitch_embedding", 64, 301)
   if (init_fnet_common(&layers->lace_fnet_conv1,
       &layers->lace_fnet_conv2, &layers->lace_fnet_tconv,
       &layers->lace_fnet_gru_input, &layers->lace_fnet_gru_recurrent,
-      arrays, "lace")) return 1;
-  L(lace_cf1_kernel, "lace_cf1_kernel", 256, 16)
-  L(lace_cf1_gain, "lace_cf1_gain", 256, 1)
-  L(lace_cf1_global_gain, "lace_cf1_global_gain", 256, 1)
-  L(lace_cf2_kernel, "lace_cf2_kernel", 256, 16)
-  L(lace_cf2_gain, "lace_cf2_gain", 256, 1)
-  L(lace_cf2_global_gain, "lace_cf2_global_gain", 256, 1)
-  L(lace_af1_kernel, "lace_af1_kernel", 256, 16)
-  L(lace_af1_gain, "lace_af1_gain", 256, 1)
+      arrays, "lace", LACE_COND_DIM)) return 1;
+  L(lace_cf1_kernel, "lace_cf1_kernel", 128, 16)
+  L(lace_cf1_gain, "lace_cf1_gain", 128, 1)
+  L(lace_cf1_global_gain, "lace_cf1_global_gain", 128, 1)
+  L(lace_cf2_kernel, "lace_cf2_kernel", 128, 16)
+  L(lace_cf2_gain, "lace_cf2_gain", 128, 1)
+  L(lace_cf2_global_gain, "lace_cf2_global_gain", 128, 1)
+  L(lace_af1_kernel, "lace_af1_kernel", 128, 16)
+  L(lace_af1_gain, "lace_af1_gain", 128, 1)
   return 0;
 }
 
 int init_nolacelayers(NOLACELayers *layers, const WeightArray *arrays)
 {
-  LNB(nolace_pitch_embedding, "nolace_pitch_embedding", 64, 258)
+  LNB(nolace_pitch_embedding, "nolace_pitch_embedding", 64, 301)
   if (init_fnet_common(&layers->nolace_fnet_conv1,
       &layers->nolace_fnet_conv2, &layers->nolace_fnet_tconv,
       &layers->nolace_fnet_gru_input,
-      &layers->nolace_fnet_gru_recurrent, arrays, "nolace")) return 1;
+      &layers->nolace_fnet_gru_recurrent, arrays, "nolace", NOLACE_COND_DIM)) return 1;
   L(nolace_cf1_kernel, "nolace_cf1_kernel", 256, 16)
   L(nolace_cf1_gain, "nolace_cf1_gain", 256, 1)
   L(nolace_cf1_global_gain, "nolace_cf1_global_gain", 256, 1)
@@ -139,4 +141,23 @@ void nolace_oracle_process(void *hp, float *x_out, const float *x_in,
   NoLaceHandle *h = (NoLaceHandle *)hp;
   nolace_process_20ms_frame(&h->nolace, &h->state, x_out, x_in,
                             features, numbits, periods, 0);
+}
+
+/* --- feature helper wrappers (static fns from osce_features.c, same
+ * TU via include below) --- */
+#include "osce_features.c"
+
+void osce_oracle_logspec(float *out, const opus_int16 *a_q12, int order)
+{
+  calculate_log_spectrum_from_lpc(out, (opus_int16 *)a_q12, order);
+}
+
+void osce_oracle_cepstrum(float *out, float *signal320)
+{
+  calculate_cepstrum(out, signal320);
+}
+
+void osce_oracle_acorr(float *out, float *signal_frame, int lag)
+{
+  calculate_acorr(out, signal_frame, lag);
 }
