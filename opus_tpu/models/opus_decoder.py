@@ -52,6 +52,14 @@ class OpusDecoder:
         for cs in self.silk.channel_state:
             cs.osce = OSCEEnhancer(method, model) if method else None
 
+    def set_osce_bwe(self, model) -> None:
+        """Enable neural blind bandwidth extension of SILK-WB content
+        decoded at 48 kHz (reference: OPUS_SET_OSCE_BWE
+        opus_defines.h:176; hook silk/dec_API.c:267)."""
+        from ..dnn.bbwe import BBWE
+        for cs in self.silk.channel_state:
+            cs.bwe = BBWE(model) if model is not None else None
+
     def load_deep_plc(self, plc_model, pitch_model, fargan_model):
         """Attach the neural PLC models (reference: OPUS_SET_DNN_BLOB
         path, complexity>=5 deep PLC)."""

@@ -189,8 +189,18 @@ class SilkDecoder:
         out = np.zeros(n_samples_out * n_channels_api, dtype=np.int64)
 
         for n in range(min(n_channels_api, n_channels_internal)):
-            resampled = cs[n].resampler.process(
-                samples_out1[n][1:1 + n_samples_out_dec])
+            bwe = getattr(cs[n], "bwe", None)
+            if bwe is not None and cs[0].fs_kHz == 16 \
+                    and api_sample_rate == 48000 \
+                    and n_samples_out_dec in (160, 320):
+                # neural blind BWE replaces the 16k->48k resampler
+                # (reference: osce_bwe hook silk/dec_API.c:267)
+                resampled = bwe.process(np.asarray(
+                    samples_out1[n][1:1 + n_samples_out_dec],
+                    np.int16)).tolist()
+            else:
+                resampled = cs[n].resampler.process(
+                    samples_out1[n][1:1 + n_samples_out_dec])
             if n_channels_api == 2:
                 out[n::2] = resampled[:n_samples_out]
             else:
