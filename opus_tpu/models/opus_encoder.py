@@ -238,6 +238,10 @@ class OpusEncoder:
         self.dred = None
         self.dred_duration = 0
         self.activity_mem = None
+        # tonality analysis (reference: st->analysis, st->voice_ratio)
+        self.analysis = None
+        self.voice_ratio = -1
+        self.detected_bandwidth = 0
 
     # -- ctl-style setters ------------------------------------------------
     def set_bitrate(self, bitrate):
@@ -360,12 +364,46 @@ class OpusEncoder:
 
         silence = is_digital_silence(pcm, self.lsb_depth)
 
-        # voice estimate (no analysis GRU yet; reference fallback logic
-        # src/opus_encoder.c:1412-1426)
+        # tonality analysis (reference: run_analysis call :1253-1259,
+        # consumers :1279-1304; runs at complexity>=7 on >=16 kHz input)
+        analysis_info = None
+        if self.complexity >= 7 and fs >= 16000 \
+                and self.application != "restricted-lowdelay" \
+                and not silence:
+            from .analysis import TonalityAnalysisState, run_analysis
+            if self.analysis is None:
+                self.analysis = TonalityAnalysisState(fs)
+            analysis_info = run_analysis(
+                self.analysis, np.asarray(pcm, np.float64), frame_size,
+                frame_size, 0, -2 if channels == 2 else -1, channels,
+                self.lsb_depth)
+            if analysis_info.valid:
+                if self.signal_type is None:
+                    if self.prev_mode == 0:
+                        prob = analysis_info.music_prob
+                    elif self.prev_mode == MODE_CELT_ONLY:
+                        prob = analysis_info.music_prob_max
+                    else:
+                        prob = analysis_info.music_prob_min
+                    self.voice_ratio = int(
+                        math.floor(0.5 + 100 * (1 - prob)))
+                ab = analysis_info.bandwidth
+                self.detected_bandwidth = (
+                    BW_NB if ab <= 12 else BW_MB if ab <= 14
+                    else BW_WB if ab <= 16 else BW_SWB if ab <= 18
+                    else BW_FB)
+            else:
+                analysis_info = None
+
+        # voice estimate (reference :1412-1426)
         if self.signal_type == "voice":
             voice_est = 127
         elif self.signal_type == "music":
             voice_est = 0
+        elif self.voice_ratio >= 0:
+            voice_est = (self.voice_ratio * 327) >> 8
+            if self.application == "audio":
+                voice_est = min(voice_est, 115)
         elif self.application == "voip":
             voice_est = 115
         else:
@@ -484,6 +522,23 @@ class OpusEncoder:
             self.bandwidth = BW_NB
         if mode == MODE_CELT_ONLY and self.bandwidth == BW_MB:
             self.bandwidth = BW_WB
+
+        # detected-bandwidth cap (reference :1653-1673)
+        if self.detected_bandwidth and self.user_bandwidth is None:
+            if equiv_rate <= 18000 * stream_channels \
+                    and mode == MODE_CELT_ONLY:
+                min_bw = BW_NB
+            elif equiv_rate <= 24000 * stream_channels \
+                    and mode == MODE_CELT_ONLY:
+                min_bw = BW_MB
+            elif equiv_rate <= 30000 * stream_channels:
+                min_bw = BW_WB
+            elif equiv_rate <= 44000 * stream_channels:
+                min_bw = BW_SWB
+            else:
+                min_bw = BW_FB
+            detected = max(self.detected_bandwidth, min_bw)
+            self.bandwidth = min(self.bandwidth, detected)
 
         curr_bandwidth = self.bandwidth
         if mode == MODE_SILK_ONLY and curr_bandwidth > BW_WB:
