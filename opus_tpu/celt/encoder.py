@@ -464,7 +464,7 @@ def stereo_analysis(mode: CeltMode, x, lm, n0):
 
 def alloc_trim_analysis(mode: CeltMode, x, band_log_e, end, lm, c, n0,
                         stereo_saving, tf_estimate, intensity, surround_trim,
-                        equiv_rate):
+                        equiv_rate, analysis=None):
     """Returns (trim_index, new_stereo_saving)."""
     trim = 5.0
     if equiv_rate < 64000:
@@ -499,6 +499,9 @@ def alloc_trim_analysis(mode: CeltMode, x, band_log_e, end, lm, c, n0,
     trim -= max(-2.0, min(2.0, (diff + 1.0) / 6))
     trim -= surround_trim
     trim -= 2 * tf_estimate
+    if analysis is not None and analysis.valid:
+        # (reference: celt_encoder.c:935)
+        trim -= max(-2.0, min(2.0, 2.0 * (analysis.tonality_slope + .05)))
     trim_index = int(math.floor(.5 + trim))
     trim_index = max(0, min(10, trim_index))
     return trim_index, stereo_saving
@@ -506,7 +509,8 @@ def alloc_trim_analysis(mode: CeltMode, x, band_log_e, end, lm, c, n0,
 
 def compute_vbr(mode: CeltMode, base_target, lm, bitrate, last_coded_bands,
                 c, intensity, constrained_vbr, stereo_saving, tot_boost,
-                tf_estimate, pitch_change, max_depth, temporal_vbr):
+                tf_estimate, pitch_change, max_depth, temporal_vbr,
+                analysis=None, lfe=0):
     nb = mode.nbEBands
     eb = mode.eBands
     coded_bands = last_coded_bands if last_coded_bands else nb
@@ -514,6 +518,10 @@ def compute_vbr(mode: CeltMode, base_target, lm, bitrate, last_coded_bands,
     if c == 2:
         coded_bins += eb[min(intensity, coded_bands)] << lm
     target = base_target
+    if analysis is not None and analysis.valid \
+            and analysis.activity < .4:
+        # (reference: celt_encoder.c:1632)
+        target -= int((coded_bins << BITRES) * (.4 - analysis.activity))
     if c == 2:
         coded_stereo_bands = min(intensity, coded_bands)
         coded_stereo_dof = (eb[coded_stereo_bands] << lm) - coded_stereo_bands
@@ -524,7 +532,13 @@ def compute_vbr(mode: CeltMode, base_target, lm, bitrate, last_coded_bands,
     target += tot_boost - (19 << lm)
     tf_calibration = 0.044
     target += int(2 * (tf_estimate - tf_calibration) * target)
-    # analysis-based boosts skipped (analysis invalid)
+    if analysis is not None and analysis.valid and not lfe:
+        # tonality boost compensating for the average (:1658-1670)
+        tonal = max(0.0, analysis.tonality - .15) - 0.12
+        tonal_target = target + int((coded_bins << BITRES) * 1.2 * tonal)
+        if pitch_change:
+            tonal_target += int((coded_bins << BITRES) * .8)
+        target = tonal_target
     bins = eb[nb - 2] << lm
     floor_depth = int((c * bins << BITRES) * max_depth)
     floor_depth = max(floor_depth, target >> 2)
@@ -558,6 +572,10 @@ class CeltEncoder:
     force_intra: int = 0
     clip: int = 1
     disable_inv: int = 0
+    # AnalysisInfo from the tonality analyzer (reference:
+    # CELT_SET_ANALYSIS ctl; fields used at celt_encoder.c:935,1226,
+    # 1494,1632,1658)
+    analysis: object = None
     rng: int = 0
     # spectral state
     spread_decision: int = SPREAD_NORMAL
@@ -972,7 +990,8 @@ class CeltEncoder:
             else:
                 alloc_trim, self.stereo_saving = alloc_trim_analysis(
                     mode, X, band_log_e, end, lm, C, N, self.stereo_saving,
-                    tf_estimate, self.intensity, surround_trim, equiv_rate)
+                    tf_estimate, self.intensity, surround_trim, equiv_rate,
+                    analysis=self.analysis)
             enc.enc_icdf(alloc_trim, TRIM_ICDF, 7)
             tell_frac = ec_tell_frac(enc)
 
@@ -997,7 +1016,8 @@ class CeltEncoder:
                                      self.lastCodedBands, C, self.intensity,
                                      self.constrained_vbr, self.stereo_saving,
                                      tot_boost, tf_estimate, pitch_change,
-                                     max_depth, temporal_vbr)
+                                     max_depth, temporal_vbr,
+                                     analysis=self.analysis, lfe=self.lfe)
             else:
                 target = base_target
                 if self.silk_info_offset < 100:
@@ -1189,6 +1209,9 @@ class CeltEncoder:
         else:
             gain1 = 0.0
             pitch_index = COMBFILTER_MINPERIOD
+        if self.analysis is not None and self.analysis.valid:
+            # (reference: celt_encoder.c:1494)
+            gain1 = gain1 * self.analysis.max_pitch_ratio
 
         pf_threshold = .2
         if abs(pitch_index - self.prefilter_period) * 10 > pitch_index:
@@ -1375,6 +1398,11 @@ class CeltEncoder:
                 if freq_bin >= eBands[end]:
                     follower[end - 1] += 2.0
                     follower[end - 2] += 1.0
+            if self.analysis is not None and self.analysis.valid:
+                # leakage boosts from the analyzer (:1226-1230)
+                for i in range(start, min(19, end)):
+                    follower[i] += (1.0 / 64) \
+                        * float(self.analysis.leak_boost[i])
             if effective_bytes > 320:
                 follower[0] += min(1.5, 1e-3 * (effective_bytes - 320))
             for i in range(start, end):

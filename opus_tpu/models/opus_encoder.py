@@ -6,9 +6,10 @@ dc_reject :509), the SILK/CELT orchestration with hybrid glue and
 mode-transition redundancy frames (opus_encode_frame_native :1855),
 DTX, and CBR padding.
 
-Scope notes vs the reference: LBRR/FEC and DRED land with the DNN
-stack; the analysis (music/speech GRU) module is pending, so voice_est
-uses the application-based fallback.
+At complexity>=7 the tonality analyzer (models/analysis.py, trained
+weights from the reference tree) drives voice_est, the detected
+bandwidth cap, and the CELT-side trim/dynalloc/VBR boosts; below that
+voice_est falls back to the application-based heuristic.
 """
 
 from __future__ import annotations
@@ -552,6 +553,9 @@ class OpusEncoder:
         # hybrid/celt can't exceed 20 ms (handled by _encode_long)
         assert not (frame_size > fs // 50 and mode != MODE_SILK_ONLY)
 
+        # feed the analyzer output to CELT (reference: CELT_SET_ANALYSIS
+        # ctl at :2418-2425)
+        self.celt.analysis = analysis_info
         ret = self._encode_frame_native(
             pcm, frame_size, max_data_bytes, bitrate, mode, curr_bandwidth,
             stream_channels, redundancy, celt_to_silk, prefill, equiv_rate,
