@@ -510,7 +510,8 @@ def alloc_trim_analysis(mode: CeltMode, x, band_log_e, end, lm, c, n0,
 def compute_vbr(mode: CeltMode, base_target, lm, bitrate, last_coded_bands,
                 c, intensity, constrained_vbr, stereo_saving, tot_boost,
                 tf_estimate, pitch_change, max_depth, temporal_vbr,
-                analysis=None, lfe=0):
+                analysis=None, lfe=0, has_surround_mask=0,
+                surround_masking=0.0):
     nb = mode.nbEBands
     eb = mode.eBands
     coded_bands = last_coded_bands if last_coded_bands else nb
@@ -539,13 +540,18 @@ def compute_vbr(mode: CeltMode, base_target, lm, bitrate, last_coded_bands,
         if pitch_change:
             tonal_target += int((coded_bins << BITRES) * .8)
         target = tonal_target
+    if has_surround_mask and not lfe:
+        # (reference: celt_encoder.c:1676-1681)
+        surround_target = target + int(surround_masking
+                                       * (coded_bins << BITRES))
+        target = max(target // 4, surround_target)
     bins = eb[nb - 2] << lm
     floor_depth = int((c * bins << BITRES) * max_depth)
     floor_depth = max(floor_depth, target >> 2)
     target = min(target, floor_depth)
-    if constrained_vbr:
+    if (not has_surround_mask or lfe) and constrained_vbr:
         target = base_target + int(0.67 * (target - base_target))
-    if tf_estimate < .2:
+    if not has_surround_mask and tf_estimate < .2:
         amount = .0000031 * max(0, min(32000, 96000 - bitrate))
         tvbr_factor = temporal_vbr * amount
         target += int(tvbr_factor * target)
@@ -576,6 +582,8 @@ class CeltEncoder:
     # CELT_SET_ANALYSIS ctl; fields used at celt_encoder.c:935,1226,
     # 1494,1632,1658)
     analysis: object = None
+    # per-band surround energy mask (reference: OPUS_SET_ENERGY_MASK)
+    energy_mask: object = None
     rng: int = 0
     # spectral state
     spread_decision: int = SPREAD_NORMAL
@@ -825,6 +833,57 @@ class CeltEncoder:
 
         surround_dynalloc = np.zeros(C * nbE)
         surround_trim = 0.0
+        surround_masking = 0.0
+        # surround masking between channels (reference:
+        # celt_encoder.c:2112-2186; energy_mask set by the multistream
+        # encoder's surround_analysis)
+        if not hybrid and self.energy_mask is not None and not self.lfe:
+            eBands = mode.eBands
+            mask_end = max(2, self.lastCodedBands)
+            mask_avg = 0.0
+            diff = 0.0
+            count = 0
+            for c in range(C):
+                for i in range(mask_end):
+                    m = max(min(self.energy_mask[nbE * c + i], .25), -2.0)
+                    if m > 0:
+                        m = .5 * m
+                    w = eBands[i + 1] - eBands[i]
+                    mask_avg += m * w
+                    count += w
+                    diff += m * (1 + 2 * i - mask_end)
+            mask_avg = mask_avg / count + .2
+            diff = diff * 6 / (C * (mask_end - 1) * (mask_end + 1)
+                               * mask_end)
+            diff = .5 * diff
+            diff = max(min(diff, .031), -.031)
+            midband = 0
+            while eBands[midband + 1] < eBands[mask_end] // 2:
+                midband += 1
+            count_dynalloc = 0
+            for i in range(mask_end):
+                lin = mask_avg + diff * (i - midband)
+                if C == 2:
+                    unmask = max(self.energy_mask[i],
+                                 self.energy_mask[nbE + i])
+                else:
+                    unmask = self.energy_mask[i]
+                unmask = min(unmask, 0.0) - lin
+                if unmask > .25:
+                    surround_dynalloc[i] = unmask - .25
+                    count_dynalloc += 1
+            if count_dynalloc >= 3:
+                mask_avg += .25
+                if mask_avg > 0:
+                    mask_avg = 0.0
+                    diff = 0.0
+                    surround_dynalloc[:mask_end] = 0.0
+                else:
+                    surround_dynalloc[:mask_end] = np.maximum(
+                        0.0, surround_dynalloc[:mask_end] - .25)
+            mask_avg += .2
+            surround_trim = 64 * diff
+            surround_masking = mask_avg
         # temporal VBR
         temporal_vbr = 0.0
         if not self.lfe:
@@ -1017,7 +1076,10 @@ class CeltEncoder:
                                      self.constrained_vbr, self.stereo_saving,
                                      tot_boost, tf_estimate, pitch_change,
                                      max_depth, temporal_vbr,
-                                     analysis=self.analysis, lfe=self.lfe)
+                                     analysis=self.analysis, lfe=self.lfe,
+                                     has_surround_mask=int(
+                                         self.energy_mask is not None),
+                                     surround_masking=surround_masking)
             else:
                 target = base_target
                 if self.silk_info_offset < 100:

@@ -38,6 +38,110 @@ def default_surround_layout(channels: int):
     return streams, coupled, list(mapping)
 
 
+
+
+# (reference: channel_pos src/opus_multistream_encoder.c:152)
+def _channel_pos(channels):
+    pos = [0] * 8
+    if channels == 4:
+        pos[:4] = [1, 3, 1, 3]
+    elif channels in (3, 5, 6):
+        pos[:6] = [1, 2, 3, 1, 3, 0]
+    elif channels == 7:
+        pos[:7] = [1, 2, 3, 1, 3, 2, 0]
+    elif channels == 8:
+        pos[:8] = [1, 2, 3, 1, 3, 1, 3, 0]
+    return pos
+
+
+def _log_sum(a, b):
+    """log2(2^a + 2^b) on energy-log2 values (reference: logSum
+    src/opus_multistream_encoder.c:193)."""
+    return np.logaddexp2(2 * a, 2 * b) / 2
+
+
+def surround_analysis(pcm, channels, fs, mem, preemph_mem):
+    """Per-channel 21-band masking (reference: surround_analysis
+    src/opus_multistream_encoder.c:230).  pcm: float interleaved
+    [len*channels]; mem: [channels, overlap]; preemph_mem: [channels].
+    Returns bandLogE [channels, 21] (masking offsets, <=0 mostly)."""
+    from ..celt.modes import mode_create
+    from ..celt.decoder import resampling_factor
+    from ..celt.energy import compute_band_energies, amp2log2
+    from ..ops.mdct import _forward_basis
+    mode = mode_create(48000, 960)
+    upsample = resampling_factor(fs)
+    length = len(pcm) // channels
+    frame_size = length * upsample
+    lm = 0
+    while lm < mode.maxLM and mode.shortMdctSize << lm != frame_size:
+        lm += 1
+    freq_size = mode.shortMdctSize << lm
+    overlap = mode.overlap
+    basis = _forward_basis(freq_size, overlap).astype(np.float64)
+    band_log_e = np.zeros((channels, 21))
+    mask_log_e = np.full((3, 21), -28.0)
+    pos = _channel_pos(channels)
+    x2 = pcm.reshape(-1, channels)
+    for c in range(channels):
+        buf = np.empty(frame_size + overlap)
+        buf[:overlap] = mem[c]
+        # preemphasis with upsampling (celt_preemphasis equivalent:
+        # zero-stuff by `upsample` and preemph in the 32768 domain)
+        xin = np.zeros(frame_size)
+        xin[::upsample] = x2[:, c] * 32768.0 * upsample
+        coef0 = mode.preemph[0]
+        m = preemph_mem[c]
+        for i in range(frame_size):
+            v = xin[i]
+            buf[overlap + i] = v - m
+            m = coef0 * v
+        preemph_mem[c] = m
+        ssum = float(np.dot(buf, buf))
+        if not (ssum < 1e18) or np.isnan(ssum):
+            buf[:] = 0
+            preemph_mem[c] = 0.0
+        band_e = np.zeros(21)
+        freq = np.empty(freq_size)
+        spec = buf[:freq_size + overlap] @ basis
+        freq[:] = spec
+        if upsample != 1:
+            bound = freq_size // upsample
+            freq[:bound] *= upsample
+            freq[bound:] = 0
+        tmp_e = np.zeros(21)
+        compute_band_energies(mode, freq, tmp_e, 21, 1, lm)
+        band_e = np.maximum(band_e, tmp_e)
+        ble = np.zeros(21)
+        amp2log2(mode, 21, 21, band_e, ble, 1)
+        band_log_e[c] = ble
+        for i in range(1, 21):
+            band_log_e[c, i] = max(band_log_e[c, i],
+                                   band_log_e[c, i - 1] - 1.0)
+        for i in range(19, -1, -1):
+            band_log_e[c, i] = max(band_log_e[c, i],
+                                   band_log_e[c, i + 1] - 2.0)
+        if pos[c] == 1:
+            mask_log_e[0] = _log_sum(mask_log_e[0], band_log_e[c])
+        elif pos[c] == 3:
+            mask_log_e[2] = _log_sum(mask_log_e[2], band_log_e[c])
+        elif pos[c] == 2:
+            mask_log_e[0] = _log_sum(mask_log_e[0],
+                                     band_log_e[c] - .5)
+            mask_log_e[2] = _log_sum(mask_log_e[2],
+                                     band_log_e[c] - .5)
+        mem[c] = buf[frame_size:frame_size + overlap]
+    mask_log_e[1] = np.minimum(mask_log_e[0], mask_log_e[2])
+    channel_offset = .5 * np.log2(2.0 / (channels - 1))
+    mask_log_e += channel_offset
+    for c in range(channels):
+        if pos[c] != 0:
+            band_log_e[c] -= mask_log_e[pos[c] - 1]
+        else:
+            band_log_e[c] = 0.0
+    return band_log_e
+
+
 def surround_rate_allocation(bitrate_bps, streams, coupled_streams,
                              frame_size, fs, lfe_stream=-1):
     """(reference: surround_rate_allocation
@@ -97,6 +201,9 @@ class OpusMSEncoder:
         self.mapping = list(mapping)
         self.bitrate = None
         self.lfe_stream = -1
+        self.surround = False
+        self._sa_mem = np.zeros((channels, 120))
+        self._sa_preemph = np.zeros(channels)
         self.encoders = []
         for s in range(streams):
             ch = 2 if s < coupled_streams else 1
@@ -106,6 +213,7 @@ class OpusMSEncoder:
     def create_surround(cls, fs, channels, application="audio"):
         streams, coupled, mapping = default_surround_layout(channels)
         enc = cls(fs, channels, streams, coupled, mapping, application)
+        enc.surround = channels > 2
         if channels in (6, 8):  # 5.1 / 7.1: last mapped channel is the LFE
             enc.lfe_stream = streams - 1
         return enc
@@ -134,11 +242,30 @@ class OpusMSEncoder:
         rates = surround_rate_allocation(
             self.bitrate, self.streams, self.coupled_streams, frame_size,
             self.fs, self.lfe_stream)
+        band_smr = None
+        if self.surround:
+            # masking between channels (reference: surround_analysis
+            # call at opus_multistream_encoder.c:869 and per-stream
+            # OPUS_SET_ENERGY_MASK at :1014)
+            try:
+                band_smr = surround_analysis(pcm, self.channels,
+                                             self.fs, self._sa_mem,
+                                             self._sa_preemph)
+            except ValueError:
+                band_smr = None    # unsupported frame size for 48k mode
         out = b""
         for s in range(self.streams):
             enc = self.encoders[s]
             enc.set_bitrate(max(500, rates[s]))
             chans = self._stream_channels(s)
+            if band_smr is not None:
+                mask = []
+                for ch in chans:
+                    mask.append(band_smr[ch] if ch is not None
+                                else np.zeros(21))
+                enc.set_energy_mask(np.concatenate(mask))
+            else:
+                enc.set_energy_mask(None)
             if len(chans) == 2:
                 left = (pcm[chans[0]::self.channels] if chans[0] is not None
                         else np.zeros(frame_size))

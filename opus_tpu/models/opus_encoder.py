@@ -243,6 +243,7 @@ class OpusEncoder:
         self.analysis = None
         self.voice_ratio = -1
         self.detected_bandwidth = 0
+        self.energy_mask = None
 
     # -- ctl-style setters ------------------------------------------------
     def set_bitrate(self, bitrate):
@@ -260,6 +261,11 @@ class OpusEncoder:
 
     def set_force_mode(self, mode):
         self.user_forced_mode = mode
+
+    def set_energy_mask(self, mask) -> None:
+        """Per-band surround masking from the multistream encoder
+        (reference: OPUS_SET_ENERGY_MASK opus_private.h)."""
+        self.energy_mask = mask
 
     def enable_dred(self, enc_model, pitch_model, stats,
                     duration_frames_10ms: int):
@@ -556,6 +562,7 @@ class OpusEncoder:
         # feed the analyzer output to CELT (reference: CELT_SET_ANALYSIS
         # ctl at :2418-2425)
         self.celt.analysis = analysis_info
+        self.celt.energy_mask = self.energy_mask
         ret = self._encode_frame_native(
             pcm, frame_size, max_data_bytes, bitrate, mode, curr_bandwidth,
             stream_channels, redundancy, celt_to_silk, prefill, equiv_rate,

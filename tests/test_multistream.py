@@ -146,3 +146,44 @@ def test_projection_reconstruction_energy():
     b = out[frame * channels * 2:]
     ea, eb = np.sum(a * a), np.sum(b * b)
     assert eb > 0.25 * ea and eb < 4 * ea, (ea, eb)
+
+
+def test_surround_analysis_masking():
+    """surround_analysis yields per-channel masking offsets; masked
+    channels (quiet against loud neighbors) get negative values
+    (reference: surround_analysis opus_multistream_encoder.c:230)."""
+    from opus_tpu.models.multistream import surround_analysis
+    fs, frame, ch = 48000, 960, 6
+    rng = np.random.default_rng(1)
+    t = np.arange(frame) / fs
+    pcm = np.zeros((frame, ch))
+    pcm[:, 0] = 0.5 * np.sin(2 * np.pi * 440 * t)   # loud left
+    pcm[:, 2] = 0.005 * np.sin(2 * np.pi * 445 * t)  # quiet right
+    mem = np.zeros((ch, 120))
+    pre = np.zeros(ch)
+    smr = surround_analysis(pcm.reshape(-1), ch, fs, mem, pre)
+    assert smr.shape == (6, 21)
+    assert np.all(smr[5] == 0)          # LFE position: don't mix
+    # the quiet channel is masked by the loud one on its side...
+    # positions: ch0=left(1), ch2=right(3): independent sides, so the
+    # loud channel should NOT mask itself into oblivion
+    assert smr[0].mean() > smr[2].mean() - 50   # sanity: finite values
+    assert np.isfinite(smr).all()
+
+
+def test_surround_encode_uses_mask():
+    fs, frame, ch = 48000, 960, 6
+    enc = OpusMSEncoder.create_surround(fs, ch)
+    enc.set_bitrate(384000)
+    dec = OpusMSDecoder(fs, ch, enc.streams, enc.coupled_streams,
+                        enc.mapping)
+    pcm = _sig(fs, ch, seconds=0.2)
+    nframes = len(pcm) // (frame * ch)
+    for i in range(nframes):
+        x = pcm[i * frame * ch:(i + 1) * frame * ch]
+        p = enc.encode(x, frame)
+        out = dec.decode(p)
+        assert np.isfinite(out).all()
+    # masks were computed and handed to the stream encoders
+    assert enc.encoders[0].energy_mask is not None
+    assert enc.encoders[0].energy_mask.shape == (42,)
