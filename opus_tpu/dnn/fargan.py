@@ -114,7 +114,9 @@ def run_subframe(model: FARGANModel, state: FARGANState,
     pos = pos0[..., None] + steps
     pos = jnp.where(pos >= PITCH_MAX_PERIOD, pos - period[..., None],
                     pos)
-    pos = jnp.maximum(pos, 0)
+    # clamp like the C's max(0,pos); the upper clamp also guards the
+    # un-primed period==0 case (jax gathers fill OOB with NaN)
+    pos = jnp.clip(pos, 0, PITCH_MAX_PERIOD - 1)
     pred = jnp.clip(gain_1 * jnp.take_along_axis(
         state.pitch_buf, pos, axis=-1), -1.0, 1.0)
     prev = jnp.clip(gain_1 * state.pitch_buf[..., -sf:], -1.0, 1.0)
