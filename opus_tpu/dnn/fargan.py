@@ -152,7 +152,8 @@ def run_subframe(model: FARGANModel, state: FARGANState,
 
     pitch_buf = jnp.concatenate([state.pitch_buf[..., sf:], pcm],
                                 axis=-1)
-    # deemphasis: IIR y[n] = x[n] + 0.85*y[n-1] (fargan.c:62)
+    # deemphasis: IIR y[n] = x[n] + 0.85*y[n-1] (fargan.c:62); a plain
+    # scan beats the parallel-prefix form at this length (40 samples)
     def deemph(mem, x):
         y = x + FARGAN_DEEMPHASIS * mem
         return y, y
