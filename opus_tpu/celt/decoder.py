@@ -127,6 +127,21 @@ def comb_filter(buf, base, t0, t1, n, g0, g1, tapset0, tapset1,
     already-filtered output when T < n."""
     if g0 == 0 and g1 == 0:
         return
+    if overlap == 240:
+        # 96 kHz QEXT mode: the period is coded at the 48 kHz scale, and
+        # the filter runs independently on the even/odd polyphase streams
+        # (doubling the effective period and tap spacing, i.e. mirroring
+        # the comb response around 24 kHz).  Requires 2*COMBFILTER_MAXPERIOD
+        # samples of history below base.  (reference: comb_filter_qext
+        # celt/celt.c:198-235)
+        n2 = n // 2
+        ov2 = overlap // 2
+        for s in range(2):
+            seg = buf[base - 2 * COMBFILTER_MAXPERIOD + s:base + n:2].copy()
+            comb_filter(seg, COMBFILTER_MAXPERIOD, t0, t1, n2, g0, g1,
+                        tapset0, tapset1, window[s::2][:ov2], ov2)
+            buf[base + s:base + n:2] = seg[COMBFILTER_MAXPERIOD:]
+        return
     t0 = max(t0, COMBFILTER_MINPERIOD)
     t1 = max(t1, COMBFILTER_MINPERIOD)
     g00 = g0 * COMB_GAINS[tapset0][0]
@@ -194,6 +209,9 @@ class CeltDecoder:
     postfilter_tapset: int = 0
     postfilter_tapset_old: int = 0
     prefilter_and_fold: int = 0
+    qext_scale: int = 1     # 2 for the 96 kHz QEXT modes: the decode
+                            # buffer and PLC periods double (reference:
+                            # celt_decoder.c:267-269, QEXT_SCALE celt.h:267)
     preemph_memD: np.ndarray = None
     decode_mem: np.ndarray = None   # [CC, DECODE_BUFFER_SIZE+overlap]
     oldEBands: np.ndarray = None    # [2*nbEBands]
@@ -213,9 +231,12 @@ class CeltDecoder:
 
     def reset(self):
         nb = self.mode.nbEBands
+        self.qext_scale = 2 if (self.mode.Fs == 96000 and
+                                self.mode.shortMdctSize in (240, 180)) else 1
         self.preemph_memD = np.zeros(2)
-        self.decode_mem = np.zeros((self.channels,
-                                    DECODE_BUFFER_SIZE + self.mode.overlap))
+        self.decode_mem = np.zeros(
+            (self.channels,
+             self.qext_scale * DECODE_BUFFER_SIZE + self.mode.overlap))
         self.oldEBands = np.zeros(2 * nb)
         self.oldLogE = np.full(2 * nb, -28.0)
         self.oldLogE2 = np.full(2 * nb, -28.0)
@@ -254,9 +275,10 @@ class CeltDecoder:
         M = 1 << lm
         N = M * mode.shortMdctSize
 
+        dbuf = self.qext_scale * DECODE_BUFFER_SIZE
         if data is None or (dec is None and len(data) <= 1):
             self._decode_lost(N, lm)
-            out_syn_off = DECODE_BUFFER_SIZE - N
+            out_syn_off = dbuf - N
             self._deemphasis(pcm_out, out_syn_off, N, CC, accum)
             return frame_size // self.downsample
 
@@ -385,8 +407,8 @@ class CeltDecoder:
 
         # slide decode memory left by N
         for ch in range(CC):
-            self.decode_mem[ch, :DECODE_BUFFER_SIZE - N + overlap] = \
-                self.decode_mem[ch, N:DECODE_BUFFER_SIZE + overlap]
+            self.decode_mem[ch, :dbuf - N + overlap] = \
+                self.decode_mem[ch, N:dbuf + overlap]
 
         # decode band shapes
         X = np.zeros(C * N)
@@ -420,7 +442,7 @@ class CeltDecoder:
                         lm, silence)
 
         # postfilter
-        out_syn_off = DECODE_BUFFER_SIZE - N
+        out_syn_off = dbuf - N
         window = _window(overlap)
         pp = max(self.postfilter_period, COMBFILTER_MINPERIOD)
         ppo = max(self.postfilter_period_old, COMBFILTER_MINPERIOD)
@@ -496,7 +518,7 @@ class CeltDecoder:
             nb = mode.shortMdctSize << lm
         n2 = nb  # spectrum size per block == block size
 
-        out_off = DECODE_BUFFER_SIZE - N
+        out_off = self.qext_scale * DECODE_BUFFER_SIZE - N
         basis = _backward_basis(n2, overlap).astype(np.float64)
         window = _window(overlap)
         ov2 = overlap // 2
@@ -532,18 +554,30 @@ class CeltDecoder:
     def _deemphasis(self, pcm_out, out_off, N, CC, accum):
         mode = self.mode
         coef0 = mode.preemph[0]
+        coef1 = mode.preemph[1]
+        coef3 = mode.preemph[3]
         Nd = N // self.downsample
         for ch in range(CC):
             m = self.preemph_memD[ch]
             x = self.decode_mem[ch, out_off:out_off + N]
-            # first-order deemphasis y[n] = x[n] + coef0*y[n-1], then decimate
             tmp = np.empty(N)
-            acc = m
-            for j in range(N):
-                acc = x[j] + VERY_SMALL + acc
-                tmp[j] = acc
-                acc = coef0 * acc
-            self.preemph_memD[ch] = acc
+            if coef1 != 0:
+                # 2nd-order deemphasis of the 96 kHz QEXT mode
+                # (reference: deemphasis celt/celt_decoder.c:346-358)
+                acc = m
+                for j in range(N):
+                    t = x[j] + acc + VERY_SMALL
+                    acc = coef0 * t - coef1 * x[j]
+                    tmp[j] = coef3 * t
+                self.preemph_memD[ch] = acc
+            else:
+                # first-order y[n] = x[n] + coef0*y[n-1], then decimate
+                acc = m
+                for j in range(N):
+                    acc = x[j] + VERY_SMALL + acc
+                    tmp[j] = acc
+                    acc = coef0 * acc
+                self.preemph_memD[ch] = acc
             dec = tmp[::self.downsample][:Nd]
             if accum:
                 pcm_out[ch::CC][:Nd] += dec / CELT_SIG_SCALE
@@ -553,13 +587,15 @@ class CeltDecoder:
     def _decode_lost(self, N, lm):
         """Minimal PLC: fade previous signal (full pitch-based PLC is a
         follow-up; reference: celt_decode_lost celt_decoder.c:679)."""
+        dbuf = self.qext_scale * DECODE_BUFFER_SIZE
         for ch in range(self.channels):
             buf = self.decode_mem[ch]
-            buf[:DECODE_BUFFER_SIZE - N + self.mode.overlap] = \
-                buf[N:DECODE_BUFFER_SIZE + self.mode.overlap]
-            buf[DECODE_BUFFER_SIZE - N:] *= 0.0
+            buf[:dbuf - N + self.mode.overlap] = \
+                buf[N:dbuf + self.mode.overlap]
+            buf[dbuf - N:] *= 0.0
         self.loss_duration = min(self.loss_duration + (1 << lm), 10000)
 
 
 def resampling_factor(rate: int) -> int:
-    return {48000: 1, 24000: 2, 16000: 3, 12000: 4, 8000: 6}[rate]
+    return {96000: 1, 48000: 1, 24000: 2, 16000: 3, 12000: 4,
+            8000: 6}[rate]

@@ -34,11 +34,14 @@ CELT_SIG_SCALE = 32768.0
 OPUS_BITRATE_MAX = -1
 
 
-def celt_preemphasis(pcm, inp, n, cc, upsample, coef0, mem, clip):
+def celt_preemphasis(pcm, inp, n, cc, upsample, coef, mem, clip):
     """(reference: celt_preemphasis celt_encoder.c:557); pcm is the strided
-    channel view, inp gets N samples."""
+    channel view, inp gets N samples.  coef is the mode's 4-entry preemph
+    tuple; coef[1] != 0 selects the 2nd-order filter of the custom-rate
+    and 96 kHz QEXT modes (celt_encoder.c:608-634)."""
+    coef0 = coef[0]
     m = mem[0]
-    if upsample == 1 and not clip:
+    if coef[1] == 0 and upsample == 1 and not clip:
         x = pcm[:n] * CELT_SIG_SCALE
         # y[i] = x[i] - m_i ; m_{i+1} = coef0*x[i]
         inp[:n] = x - np.concatenate(([m], coef0 * x[:-1]))
@@ -50,15 +53,21 @@ def celt_preemphasis(pcm, inp, n, cc, upsample, coef0, mem, clip):
     if clip:
         np.clip(inp[:nu * upsample:upsample], -65536., 65536.,
                 out=inp[:nu * upsample:upsample])
-    prev = np.empty(n)
-    prev[0] = m
     # sparse signal: only every `upsample`-th sample nonzero
     xs = inp[:n].copy()
     acc = m
-    for i in range(n):
-        v = xs[i]
-        inp[i] = v - acc
-        acc = coef0 * v
+    if coef[1] != 0:
+        coef1 = coef[1]
+        coef2 = coef[2]
+        for i in range(n):
+            tmp = coef2 * xs[i]
+            inp[i] = tmp + acc
+            acc = coef1 * inp[i] - coef0 * tmp
+    else:
+        for i in range(n):
+            v = xs[i]
+            inp[i] = v - acc
+            acc = coef0 * v
     mem[0] = acc
 
 
@@ -760,7 +769,7 @@ class CeltEncoder:
         for c in range(CC):
             need_clip = self.clip and sample_max > 2.0  # 65536/32768
             celt_preemphasis(pcm[c::CC], inp[c, overlap:], N, CC,
-                             self.upsample, mode.preemph[0],
+                             self.upsample, mode.preemph,
                              self.preemph_memE[c], need_clip)
             inp[c, :overlap] = self.prefilter_mem[c,
                                                   COMBFILTER_MAXPERIOD - overlap:]

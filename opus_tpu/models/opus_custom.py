@@ -49,7 +49,12 @@ class OpusCustomMode:
 
     @property
     def is_standard(self) -> bool:
-        return self.mode.Fs == 48000 and self.mode.shortMdctSize == 120
+        """Modes whose custom header is Opus-TOC-converted: the 48 kHz
+        standard family always; the 96 kHz QEXT family in QEXT builds
+        (celt_encoder.c:1879 applies toOpus unconditionally there)."""
+        return (self.mode.Fs == 48000 and self.mode.shortMdctSize == 120) \
+            or (self.mode.Fs == 96000
+                and self.mode.shortMdctSize in (240, 180))
 
 
 class OpusCustomEncoder:

@@ -20,13 +20,21 @@ from ..utils.soft_clip import pcm_soft_clip, float2int16
 
 class OpusDecoder:
     def __init__(self, fs: int, channels: int):
-        if fs not in (8000, 12000, 16000, 24000, 48000):
+        if fs not in (8000, 12000, 16000, 24000, 48000, 96000):
             raise ValueError("bad sample rate")
         if channels not in (1, 2):
             raise ValueError("bad channel count")
         self.fs = fs
         self.channels = channels
-        self.celt = CeltDecoder.create(fs, channels)
+        if fs == 96000:
+            # QEXT 96 kHz decode (reference: celt_decoder_init
+            # celt/celt_decoder.c:228; the 96k mode doubles the MDCT
+            # resolution; SILK content is not supported at 96 kHz yet)
+            self.celt = CeltDecoder.create(fs, channels,
+                                           frame_mode_fs=96000,
+                                           frame_size=1920)
+        else:
+            self.celt = CeltDecoder.create(fs, channels)
         self.celt.disable_inv = 1 if channels == 1 else 0
         self.celt.signalling = 0
         self.silk = SilkDecoder()

@@ -1,0 +1,151 @@
+"""96 kHz QEXT-mode decode tests (reference: ENABLE_QEXT paths,
+celt/celt_decoder.c:196-269 qext_scale, celt/celt.c:198 comb_filter_qext,
+celt/static_modes_float.h:2482 mode96000_1920_240).
+
+Phase A coverage: decoding a 96 kHz stream that carries no extension
+payload must be bit-exact vs the QEXT-enabled reference build.  The
+oracle build lives in .ref_build_qext (tools/build_oracle.sh); tests
+skip when it is absent.
+"""
+
+import ctypes
+import os
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from opus_tpu.celt.decoder import comb_filter, COMBFILTER_MAXPERIOD
+from opus_tpu.models.opus_custom import (OpusCustomMode,
+                                         OpusCustomEncoder,
+                                         OpusCustomDecoder)
+from opus_tpu.ops.mdct import _window
+from opus_tpu.utils.soft_clip import float2int16
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QEXT_LIB = os.path.join(REPO, ".ref_build_qext", "libopus.so")
+QEXT_DEMO = os.path.join(REPO, ".ref_build_qext", "opus_demo")
+
+needs_qext_lib = pytest.mark.skipif(not os.path.exists(QEXT_LIB),
+                                    reason="QEXT oracle not built")
+needs_qext_demo = pytest.mark.skipif(not os.path.exists(QEXT_DEMO),
+                                     reason="QEXT opus_demo not built")
+
+
+def _mode96_mono():
+    mode = OpusCustomMode(96000, 1920)
+    return mode
+
+
+def test_mode96_matches_static_tables():
+    """Our computed 96 kHz mode must equal the reference static mode
+    (static_modes_float.h:2482): same bands, window, preemph."""
+    m = _mode96_mono().mode
+    assert m.overlap == 240 and m.shortMdctSize == 240
+    assert m.nbShortMdcts == 8 and m.maxLM == 3
+    assert m.effEBands == 21
+    # 2nd-order preemphasis specific to the 96k mode
+    np.testing.assert_allclose(
+        m.preemph, (0.9230041504, 0.2200012207, 1.5128347184, 0.6610107422),
+        rtol=1e-9)
+    assert list(m.eBands[:4]) == [0, 1, 2, 3] and m.eBands[-1] == 100
+
+
+def test_comb_filter_polyphase_independence():
+    """At overlap==240 the comb filter must treat even/odd sample streams
+    independently at the coded 48 kHz-scale period
+    (comb_filter_qext celt/celt.c:198-235)."""
+    rng = np.random.default_rng(3)
+    n = 960
+    hist = 2 * COMBFILTER_MAXPERIOD
+    window = _window(240)
+    base = hist
+    buf = rng.standard_normal(hist + n)
+    ref = buf.copy()
+    comb_filter(buf, base, 100, 120, n, 0.3, 0.5, 0, 2, window, 240)
+    # reproduce via two independent half-rate comb filters
+    for s in range(2):
+        seg = ref[s::2].copy()
+        comb_filter(seg, COMBFILTER_MAXPERIOD, 100, 120, n // 2, 0.3, 0.5,
+                    0, 2, window[s::2][:120], 120)
+        ref[base + s::2] = seg[COMBFILTER_MAXPERIOD:]
+    np.testing.assert_allclose(buf, ref, atol=1e-12)
+    # perturbing only odd history must leave even outputs unchanged
+    buf2 = rng.standard_normal(hist + n)
+    buf3 = buf2.copy()
+    buf3[1:hist:2] += 1.0
+    comb_filter(buf2, base, 100, 120, n, 0.3, 0.5, 0, 2, window, 240)
+    comb_filter(buf3, base, 100, 120, n, 0.3, 0.5, 0, 2, window, 240)
+    np.testing.assert_allclose(buf2[base::2], buf3[base::2], atol=1e-12)
+
+
+@needs_qext_lib
+def test_custom_96k_decode_parity():
+    """Our 96 kHz decode must match the QEXT reference decoder to within
+    1 LSB on packets from our own encoder (celt_decoder.c QEXT paths:
+    doubled decode buffer, polyphase postfilter)."""
+    lib = ctypes.CDLL(QEXT_LIB)
+    lib.opus_custom_mode_create.restype = ctypes.c_void_p
+    lib.opus_custom_decoder_create.restype = ctypes.c_void_p
+    err = ctypes.c_int()
+    rmode = lib.opus_custom_mode_create(96000, 1920, ctypes.byref(err))
+    rdec = lib.opus_custom_decoder_create(ctypes.c_void_p(rmode), 1,
+                                          ctypes.byref(err))
+    mode = _mode96_mono()
+    enc = OpusCustomEncoder(mode, 1)
+    enc.set_bitrate(128000)
+    dec = OpusCustomDecoder(mode, 1)
+    rng = np.random.default_rng(7)
+    t = np.arange(1920 * 10) / 96000.0
+    pcm = (0.3 * np.sin(2 * np.pi * 440 * t)
+           + 0.05 * np.sin(2 * np.pi * 30000 * t)
+           + 0.02 * rng.standard_normal(len(t)))
+    for i in range(10):
+        p = enc.encode(pcm[i * 1920:(i + 1) * 1920], 1920)
+        ours = float2int16(dec.decode(p, 1920)).astype(np.int64)
+        buf = (ctypes.c_int16 * 1920)()
+        n = lib.opus_custom_decode(ctypes.c_void_p(rdec), p, len(p),
+                                   buf, 1920)
+        assert n == 1920
+        ref = np.asarray(buf[:], np.int64)
+        assert np.abs(ours - ref).max() <= 1, f"frame {i}"
+
+
+@needs_qext_demo
+def test_opus_96k_stream_decode_parity(tmp_path):
+    """End-to-end: reference encodes at 96 kHz (no extension payload),
+    we decode the .bit stream bit-exactly (final ranges equal, PCM
+    within 1 LSB of the reference's own decode)."""
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    rng = np.random.default_rng(11)
+    t = np.arange(96000) / 96000.0
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 31000 * t)
+           + 0.05 * rng.standard_normal(len(t)))
+    pcm16 = float2int16(sig)
+    inp = tmp_path / "in.pcm"
+    bit = tmp_path / "out.bit"
+    refp = tmp_path / "ref.pcm"
+    pcm16.astype('<i2').tofile(inp)
+    subprocess.run([QEXT_DEMO, "-e", "restricted-lowdelay", "96000", "1",
+                    "256000", str(inp), str(bit)], check=True,
+                   capture_output=True)
+    subprocess.run([QEXT_DEMO, "-d", "96000", "1", str(bit), str(refp)],
+                   check=True, capture_output=True)
+    ref = np.fromfile(refp, np.int16).astype(np.int64)
+    data = bit.read_bytes()
+    dec = OpusDecoder(96000, 1)
+    out = []
+    off = 0
+    while off < len(data):
+        ln, rng_ref = struct.unpack('>II', data[off:off + 8])
+        off += 8
+        pkt = data[off:off + ln]
+        off += ln
+        out.append(float2int16(dec.decode(pkt, 1920)))
+        assert dec.rangeFinal == rng_ref
+    ours = np.concatenate(out).astype(np.int64)
+    n = min(len(ours), len(ref))
+    # float64 vs the reference's float32 accumulates ~2 LSB over seconds
+    assert np.abs(ours[:n] - ref[:n]).max() <= 2

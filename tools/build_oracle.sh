@@ -106,3 +106,15 @@ gcc -O2 -fPIC -shared -DVAR_ARRAYS -U__AVX__ -U__SSE2__ -U__SSE__ -DUSE_WEIGHTS_
     "$REF/dnn/freq.c" "$REF/dnn/burg.c" "$REF/dnn/lpcnet_tables.c" \
     "$REF/dnn/nndsp.c" "$REF/dnn/nnet.c" "$REF/dnn/nnet_default.c" "$REF/dnn/parse_lpcnet_weights.c" \
     -o "$BUILD/libosce_oracle.so" -lm -L"$REPO/.ref_build_pic" -lopus
+
+# QEXT-enabled reference (96 kHz modes + quality extensions): opus_demo +
+# shared libopus with the custom API exported, used by the 96k decode tests
+if [ ! -f "$REPO/.ref_build_qext/libopus.so" ]; then
+    cmake -S "$REF" -B "$REPO/.ref_build_qext" -G Ninja \
+        -DCMAKE_BUILD_TYPE=Release -DBUILD_SHARED_LIBS=ON \
+        -DOPUS_CUSTOM_MODES=ON -DENABLE_QEXT=ON \
+        -DCMAKE_C_FLAGS="-DENABLE_QEXT" \
+        -DOPUS_BUILD_PROGRAMS=ON > /dev/null
+    cmake --build "$REPO/.ref_build_qext" -j"$(nproc)" \
+        --target opus opus_demo > /dev/null
+fi
