@@ -271,3 +271,94 @@ def compute_allocation(mode: CeltMode, start, end, offsets, cap, alloc_trim,
                                bits2, thresh, cap, total, skip_rsv, intensity,
                                intensity_rsv, dual_stereo, dual_stereo_rsv,
                                c, lm, ec, encode, prev, signal_bandwidth)
+
+
+# ---------------------------------------------------------------------------
+# QEXT: per-band extra depth allocation carried in the extension stream
+# (reference: clt_compute_extra_allocation rate.c:725, ec_dec_depth rate.c:671)
+
+_LAST_ZERO = (64, 50, 0)
+_LAST_CAP = (110, 60, 0)
+_LAST_OTHER = (120, 112, 70, 0)
+
+
+def ec_dec_depth(dec, cap: int, last: int) -> tuple[int, int]:
+    """Decode one band depth; returns (depth, new_last)
+    (reference: ec_dec_depth rate.c:671)."""
+    if last == 0:
+        sym = dec.dec_icdf(_LAST_ZERO, 7)
+        if sym == 2:
+            sym = 3
+    elif last == cap:
+        sym = dec.dec_icdf(_LAST_CAP, 7)
+        if sym == 2:
+            sym = 3
+    else:
+        sym = dec.dec_icdf(_LAST_OTHER, 7)
+    if sym == 0:
+        depth = 0
+    elif sym == 1:
+        depth = cap
+    elif sym == 2:
+        depth = last
+    else:
+        depth = 1 + dec.dec_uint(cap)
+    return depth, depth
+
+
+def ec_enc_depth(enc, depth: int, cap: int, last: int) -> int:
+    """Encode one band depth; returns new last
+    (reference: ec_enc_depth rate.c:653)."""
+    sym = 3
+    if depth == last:
+        sym = 2
+    if depth == cap:
+        sym = 1
+    if depth == 0:
+        sym = 0
+    if last == 0:
+        enc.enc_icdf(min(sym, 2), _LAST_ZERO, 7)
+    elif last == cap:
+        enc.enc_icdf(min(sym, 2), _LAST_CAP, 7)
+    else:
+        enc.enc_icdf(sym, _LAST_OTHER, 7)
+    if sym == 3:
+        enc.enc_uint(depth - 1, cap)
+    return depth
+
+
+def _depths_to_alloc(m: CeltMode, qext_mode, start, end, qext_end, depth,
+                     extra_pulses, extra_equant, c, lm):
+    for i in range(start, end):
+        extra_equant[i] = (depth[i] + 3) >> 2
+        extra_pulses[i] = ((((m.eBands[i + 1] - m.eBands[i]) << lm) - 1) * c
+                           * depth[i] * (1 << BITRES) + 2) >> 2
+    if qext_mode is not None:
+        qe = qext_mode.eBands
+        for i in range(qext_end):
+            extra_equant[end + i] = (depth[end + i] + 3) >> 2
+            extra_pulses[end + i] = ((((qe[i + 1] - qe[i]) << lm) - 1) * c
+                                     * depth[end + i] * (1 << BITRES) + 2) >> 2
+
+
+def clt_compute_extra_allocation_decode(m: CeltMode, qext_mode, start, end,
+                                        qext_end, total, extra_pulses,
+                                        extra_equant, c, lm, ec):
+    """Decode-side extra allocation (reference:
+    clt_compute_extra_allocation rate.c:725, decode branch rate.c:905-911).
+    extra_pulses/extra_equant: arrays of nbEBands+qext_end ints, filled."""
+    tot_bands = end + (qext_end if qext_mode is not None else 0)
+    nb = m.nbEBands + (qext_end if qext_mode is not None else 0)
+    if total <= 0:
+        for i in range(start, nb):
+            extra_pulses[i] = extra_equant[i] = 0
+        return
+    depth = [0] * tot_bands
+    last = 0
+    for i in range(start, tot_bands):
+        if ec.tell_frac() + 80 < ec.storage * 8 << BITRES:
+            depth[i], last = ec_dec_depth(ec, 4 * 14, last)
+        else:
+            depth[i] = 0
+    _depths_to_alloc(m, qext_mode, start, end, qext_end, depth,
+                     extra_pulses, extra_equant, c, lm)

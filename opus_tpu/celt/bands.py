@@ -267,6 +267,148 @@ def op_pvq_search(x: np.ndarray, k: int, n: int):
     return [int(v) for v in iy], float(np.dot(iy, iy))
 
 
+def _cdiv(a: int, b: int) -> int:
+    """C-style truncating integer division."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def celt_cos_norm2(x: float) -> float:
+    """cos(pi/2 * x) polynomial approximation
+    (reference: celt_cos_norm2 mathops.h:192)."""
+    x -= 4 * math.floor(0.25 * (x + 1))
+    sign = 1 - 2 * (x > 1)
+    x -= 2 * (x > 1)
+    x2 = x * x
+    return sign * (9.999999403953552246093750000000e-01 + x2 * (
+        -1.233698248863220214843750000000 + x2 * (
+            2.536507546901702880859375000000e-01 + x2 * (
+                -2.08106283098459243774414062500e-02 + x2 *
+                8.581906440667808055877685546875e-04))))
+
+
+def ec_dec_refine(dec, up: int, extra_bits: int, use_entropy: bool) -> int:
+    """(reference: ec_dec_refine vq.c:538)"""
+    large = dec.dec_bit_logp(3 if use_entropy else 1)
+    if large:
+        sign = dec.dec_bits(1)
+        refine = dec.dec_bits(extra_bits - 1) + up // 2 + 1
+        if sign:
+            refine = -refine
+    else:
+        refine = dec.dec_bits(extra_bits) - up // 2
+    return refine
+
+
+def alg_unquant_ext(x: np.ndarray, n: int, k: int, spread: int, b: int,
+                    dec, gain: float, ext_dec, extra_bits: int) -> int:
+    """PVQ decode with QEXT resolution refinement: the main stream's pulse
+    vector is scaled up by up=(2^extra_bits)-1 and per-coefficient
+    corrections are read from the extension stream
+    (reference: alg_unquant QEXT paths vq.c:623-694)."""
+    assert k > 0 and n > 1
+    iy = decode_pulses(dec, n, k)
+    up = (1 << extra_bits) - 1
+    if n == 2:
+        refine = ext_dec.dec_uint(up) - (up - 1) // 2
+        iy[0] *= up
+        iy[1] *= up
+        if iy[1] == 0:
+            iy[1] = -refine if iy[0] > 0 else refine
+            iy[0] += -refine if refine * iy[0] > 0 else refine
+        elif iy[1] > 0:
+            iy[0] += refine
+            iy[1] -= refine * (1 if iy[0] > 0 else -1)
+        else:
+            iy[0] -= refine
+            iy[1] -= refine * (1 if iy[0] > 0 else -1)
+    else:
+        use_entropy = (ext_dec.storage * 8 - ext_dec.tell()) >             (n - 1) * (extra_bits + 3) + 1
+        refine = [ec_dec_refine(ext_dec, up, extra_bits, use_entropy)
+                  for _ in range(n - 1)]
+        if iy[n - 1] == 0:
+            sign = ext_dec.dec_bits(1)
+        else:
+            sign = 1 if iy[n - 1] < 0 else 0
+        for i in range(n - 1):
+            iy[i] = iy[i] * up + refine[i]
+        last = up * k - sum(abs(v) for v in iy[:n - 1])
+        iy[n - 1] = -last if sign else last
+    ryy = float(sum(v * v for v in iy))
+    normalise_residual(iy, x, n, ryy, gain)
+    exp_rotation(x, n, -1, b, k, spread)
+    return extract_collapse_mask(iy, n, b)
+
+
+def alg_quant_ext(x, n, k, spread, b, enc, gain, resynth, ext_enc,
+                  extra_bits):
+    """PVQ encode with QEXT refinement (reference: alg_quant vq.c:573-603).
+    Encode-side QEXT lands with the 96 kHz encoder; decode-only for now."""
+    raise NotImplementedError("QEXT encoding not yet wired")
+
+
+def cubic_synthesis(x: np.ndarray, iy, n: int, k: int, face: int, sign: int,
+                    gain: float) -> None:
+    """(reference: cubic_synthesis vq.c:745, float path)"""
+    for i in range(n):
+        x[i] = float((1 + 2 * iy[i]) - k)
+    x[face] = -k if sign else k
+    ssum = float(np.dot(x[:n], x[:n]))
+    mag = 1.0 / math.sqrt(ssum)
+    x[:n] *= mag * gain
+
+
+def cubic_unquant(x: np.ndarray, n: int, res: int, b: int, dec,
+                  gain: float) -> int:
+    """Cube-surface VQ decode used for the QEXT bands
+    (reference: cubic_unquant vq.c:844)."""
+    k = 1 << res
+    if b != 1:
+        k = max(1, k - 1)
+    if k == 1:
+        x[:n] = 0.0
+        return 0
+    face = dec.dec_uint(n)
+    sign = dec.dec_bits(1)
+    iy = [0] * n
+    for i in range(n):
+        if i != face:
+            iy[i] = dec.dec_bits(res)
+    iy[face] = 0
+    cubic_synthesis(x, iy, n, k, face, sign, gain)
+    return (1 << b) - 1
+
+
+def cubic_quant(x: np.ndarray, n: int, res: int, b: int, enc, gain: float,
+                resynth: bool) -> int:
+    """Cube-surface VQ encode (reference: cubic_quant vq.c:788, float)."""
+    k = 1 << res
+    if b != 1:
+        k = max(1, k - 1)
+    if k == 1:
+        if resynth:
+            x[:n] = 0.0
+        return 0
+    face = 0
+    faceval = -1.0
+    for i in range(n):
+        if abs(x[i]) > faceval:
+            faceval = abs(x[i])
+            face = i
+    sign = 1 if x[face] < 0 else 0
+    enc.enc_uint(face, n)
+    enc.enc_bits(sign, 1)
+    norm = 0.5 * k / (faceval + EPSILON)
+    iy = [min(k - 1, int(math.floor((x[i] + faceval) * norm)))
+          for i in range(n)]
+    for i in range(n):
+        if i != face:
+            enc.enc_bits(iy[i], res)
+    if resynth:
+        cubic_synthesis(x, iy, n, k, face, sign, gain)
+    return (1 << b) - 1
+
+
 def stereo_split(x: np.ndarray, y: np.ndarray, n: int) -> None:
     s = math.sqrt(0.5)
     l = s * x[:n]
@@ -306,7 +448,8 @@ def intensity_stereo(mode: CeltMode, x: np.ndarray, y: np.ndarray,
 class BandCtx:
     __slots__ = ("encode", "resynth", "m", "i", "intensity", "spread",
                  "tf_change", "ec", "remaining_bits", "bandE", "seed",
-                 "theta_round", "disable_inv", "avoid_split_noise")
+                 "theta_round", "disable_inv", "avoid_split_noise",
+                 "ext_ec", "ext_total_bits", "extra_bands")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -314,13 +457,16 @@ class BandCtx:
 
 
 class SplitCtx:
-    __slots__ = ("inv", "imid", "iside", "delta", "itheta", "qalloc")
+    __slots__ = ("inv", "imid", "iside", "delta", "itheta", "qalloc",
+                 "itheta_q30")
 
 
 def compute_theta(ctx: BandCtx, sctx: SplitCtx, x, y, n, b, bb, b0, lm,
-                  stereo, fill):
-    """Returns (b, fill) updated (reference: compute_theta bands.c:700)."""
+                  stereo, fill, ext_b=0):
+    """Returns (b, fill, ext_b) updated (reference: compute_theta
+    bands.c:700; QEXT theta refinement bands.c:842-864)."""
     itheta = 0
+    itheta_q30 = 0
     inv = 0
     encode = ctx.encode
     m = ctx.m
@@ -404,6 +550,35 @@ def compute_theta(ctx: BandCtx, sctx: SplitCtx, x, y, n, b, bb, b0, lm,
                 ec.update(fl, fl + fs, ft)
         assert itheta >= 0
         itheta = itheta * 16384 // qn
+        if ctx.ext_ec is not None:
+            # QEXT: refine the angle with extra precision from the
+            # extension stream (reference: bands.c:842-864)
+            ext_b = min(ext_b, ctx.ext_total_bits - ctx.ext_ec.tell_frac())
+            if (ext_b >= 2 * n << BITRES
+                    and ctx.ext_total_bits - ctx.ext_ec.tell_frac() - 1
+                    > 2 << BITRES):
+                ext_tell = ctx.ext_ec.tell_frac()
+                extra_bits = min(14, max(2, _sudiv(ext_b,
+                                                   (2 * n - 1) << BITRES)))
+                if encode:
+                    q30 = stereo_itheta_q30(x, y, stereo, n) - (itheta << 16)
+                    q30 = (q30 * qn * ((1 << extra_bits) - 1)
+                           + (1 << 29)) >> 30
+                    q30 += (1 << (extra_bits - 1)) - 1
+                    q30 = max(0, min((1 << extra_bits) - 2, q30))
+                    ctx.ext_ec.enc_uint(q30, (1 << extra_bits) - 1)
+                    itheta_q30 = q30
+                else:
+                    itheta_q30 = ctx.ext_ec.dec_uint((1 << extra_bits) - 1)
+                itheta_q30 -= (1 << (extra_bits - 1)) - 1
+                itheta_q30 = (itheta << 16) + _cdiv(
+                    itheta_q30 * (1 << 30), qn * ((1 << extra_bits) - 1))
+                itheta_q30 = max(0, min(itheta_q30, 1 << 30))
+                ext_b -= ctx.ext_ec.tell_frac() - ext_tell
+            else:
+                itheta_q30 = itheta << 16
+        else:
+            itheta_q30 = itheta << 16
         if encode and stereo:
             if itheta == 0:
                 intensity_stereo(m, x, y, ctx.bandE, i, n)
@@ -425,6 +600,7 @@ def compute_theta(ctx: BandCtx, sctx: SplitCtx, x, y, n, b, bb, b0, lm,
         if ctx.disable_inv:
             inv = 0
         itheta = 0
+        itheta_q30 = 0
     qalloc = ec.tell_frac() - tell
     b -= qalloc
 
@@ -448,8 +624,9 @@ def compute_theta(ctx: BandCtx, sctx: SplitCtx, x, y, n, b, bb, b0, lm,
     sctx.iside = iside
     sctx.delta = delta
     sctx.itheta = itheta
+    sctx.itheta_q30 = itheta_q30
     sctx.qalloc = qalloc
-    return b, fill
+    return b, fill, ext_b
 
 
 def stereo_itheta(x, y, stereo, n) -> int:
@@ -471,6 +648,22 @@ def stereo_itheta(x, y, stereo, n) -> int:
     return int(math.floor(0.5 + 16384 * 0.63662 * math.atan2(side, mid)))
 
 
+def stereo_itheta_q30(x, y, stereo, n) -> int:
+    """Q30 angle (reference: stereo_itheta vq.c:724, float build)."""
+    emid = eside = EPSILON
+    if stereo:
+        for j in range(n):
+            m = x[j] + y[j]
+            s = x[j] - y[j]
+            emid += m * m
+            eside += s * s
+    else:
+        emid += float(np.dot(x[:n], x[:n]))
+        eside += float(np.dot(y[:n], y[:n]))
+    return int(math.floor(0.5 + 65536.0 * 16384 * (2 / math.pi)
+                          * math.atan2(math.sqrt(eside), math.sqrt(emid))))
+
+
 def quant_band_n1(ctx: BandCtx, x, y, lowband_out) -> int:
     ec = ctx.ec
     vectors = [x] if y is None else [x, y]
@@ -490,8 +683,10 @@ def quant_band_n1(ctx: BandCtx, x, y, lowband_out) -> int:
     return 1
 
 
-def quant_partition(ctx: BandCtx, x, n, b, bb, lowband, lm, gain, fill) -> int:
-    """(reference: quant_partition bands.c:973)"""
+def quant_partition(ctx: BandCtx, x, n, b, bb, lowband, lm, gain, fill,
+                    ext_b=0) -> int:
+    """(reference: quant_partition bands.c:973; QEXT refinement paths
+    bands.c:1082-1135)"""
     m = ctx.m
     i = ctx.i
     encode = ctx.encode
@@ -509,14 +704,21 @@ def quant_partition(ctx: BandCtx, x, n, b, bb, lowband, lm, gain, fill) -> int:
             fill = (fill & 1) | (fill << 1)
         bb = (bb + 1) >> 1
         sctx = SplitCtx()
-        b, fill = compute_theta(ctx, sctx, x, y, n, b, bb, b0, lm, 0, fill)
+        b, fill, ext_b = compute_theta(ctx, sctx, x, y, n, b, bb, b0, lm, 0,
+                                       fill, ext_b)
         imid = sctx.imid
         iside = sctx.iside
         delta = sctx.delta
         itheta = sctx.itheta
         qalloc = sctx.qalloc
-        mid = imid / 32768.0
-        side = iside / 32768.0
+        if ctx.ext_ec is not None:
+            # QEXT builds derive the gains from the (possibly refined)
+            # Q30 angle (reference: bands.c:1037-1038)
+            mid = celt_cos_norm2(sctx.itheta_q30 * (1.0 / (1 << 30)))
+            side = celt_cos_norm2(1.0 - sctx.itheta_q30 * (1.0 / (1 << 30)))
+        else:
+            mid = imid / 32768.0
+            side = iside / 32768.0
 
         if b0 > 1 and (itheta & 0x3fff):
             if itheta > 8192:
@@ -532,22 +734,34 @@ def quant_partition(ctx: BandCtx, x, n, b, bb, lowband, lm, gain, fill) -> int:
         rebalance = ctx.remaining_bits
         if mbits >= sbits:
             cm = quant_partition(ctx, x, n, mbits, bb, lowband, lm,
-                                 gain * mid, fill)
+                                 gain * mid, fill, ext_b // 2)
             rebalance = mbits - (rebalance - ctx.remaining_bits)
             if rebalance > 3 << BITRES and itheta != 0:
                 sbits += rebalance - (3 << BITRES)
             cm |= quant_partition(ctx, y, n, sbits, bb, next_lowband2, lm,
-                                  gain * side, fill >> bb) << (b0 >> 1)
+                                  gain * side, fill >> bb,
+                                  ext_b // 2) << (b0 >> 1)
         else:
             cm = quant_partition(ctx, y, n, sbits, bb, next_lowband2, lm,
-                                 gain * side, fill >> bb) << (b0 >> 1)
+                                 gain * side, fill >> bb,
+                                 ext_b // 2) << (b0 >> 1)
             rebalance = sbits - (rebalance - ctx.remaining_bits)
             if rebalance > 3 << BITRES and itheta != 16384:
                 mbits += rebalance - (3 << BITRES)
             cm |= quant_partition(ctx, x, n, mbits, bb, lowband, lm,
-                                  gain * mid, fill)
+                                  gain * mid, fill, ext_b // 2)
     else:
         # basic no-split case
+        extra_bits = 0
+        if ctx.ext_ec is not None:
+            # extra per-coefficient resolution from the extension stream
+            # (reference: bands.c:1085-1093)
+            extra_bits = _sudiv(ext_b, n - 1) >> BITRES
+            ext_rem = ctx.ext_total_bits - ctx.ext_ec.tell_frac()
+            if ext_rem < ((extra_bits + 1) * (n - 1) + n) << BITRES:
+                extra_bits = max(
+                    (_sudiv(ext_rem - (n << BITRES), n - 1) >> BITRES) - 1, 0)
+            extra_bits = min(14, extra_bits)
         q = bits2pulses(m, i, lm, b)
         curr_bits = pulses2bits(m, i, lm, q)
         ctx.remaining_bits -= curr_bits
@@ -559,9 +773,32 @@ def quant_partition(ctx: BandCtx, x, n, b, bb, lowband, lm, gain, fill) -> int:
         if q != 0:
             k = get_pulses(q)
             if encode:
-                cm = alg_quant(x, n, k, ctx.spread, bb, ec, gain, ctx.resynth)
+                if extra_bits >= 2:
+                    cm = alg_quant_ext(x, n, k, ctx.spread, bb, ec, gain,
+                                       ctx.resynth, ctx.ext_ec, extra_bits)
+                else:
+                    cm = alg_quant(x, n, k, ctx.spread, bb, ec, gain,
+                                   ctx.resynth)
             else:
-                cm = alg_unquant(x, n, k, ctx.spread, bb, ec, gain)
+                if extra_bits >= 2:
+                    cm = alg_unquant_ext(x, n, k, ctx.spread, bb, ec, gain,
+                                         ctx.ext_ec, extra_bits)
+                else:
+                    cm = alg_unquant(x, n, k, ctx.spread, bb, ec, gain)
+        elif ctx.ext_ec is not None and ext_b > 2 * n << BITRES:
+            # no main-stream pulses but enough extension bits: cube VQ
+            # (reference: bands.c:1122-1132)
+            extra_bits = _sudiv(ext_b, n - 1) >> BITRES
+            ext_rem = ctx.ext_total_bits - ctx.ext_ec.tell_frac()
+            if ext_rem < ((extra_bits + 1) * (n - 1) + n) << BITRES:
+                extra_bits = max(
+                    (_sudiv(ext_rem - (n << BITRES), n - 1) >> BITRES) - 1, 0)
+            extra_bits = min(14, extra_bits)
+            if encode:
+                cm = cubic_quant(x, n, extra_bits, bb, ctx.ext_ec, gain,
+                                 ctx.resynth)
+            else:
+                cm = cubic_unquant(x, n, extra_bits, bb, ctx.ext_ec, gain)
         else:
             if ctx.resynth:
                 cm_mask = (1 << bb) - 1
@@ -587,8 +824,57 @@ def quant_partition(ctx: BandCtx, x, n, b, bb, lowband, lm, gain, fill) -> int:
     return cm
 
 
+def cubic_quant_partition(ctx: BandCtx, x, n, b, bb, ec, lm, gain,
+                          resynth, encode) -> int:
+    """Recursive cube VQ over a QEXT band (reference:
+    cubic_quant_partition bands.c:1180)."""
+    assert lm >= 0
+    ctx.remaining_bits = ctx.ec.storage * 8 * 8 - ctx.ec.tell_frac()
+    b = min(b, ctx.remaining_bits)
+    if lm == 0 or b <= 2 * n << BITRES:
+        b = min(b + ((n - 1) << BITRES) // 2, ctx.remaining_bits)
+        res = _sudiv(b - (1 << BITRES) - ctx.m.logN[ctx.i]
+                     - (lm << BITRES) - 1, n - 1) >> BITRES
+        res = min(14, max(0, res))
+        if encode:
+            ret = cubic_quant(x, n, res, bb, ec, gain, resynth)
+        else:
+            ret = cubic_unquant(x, n, res, bb, ec, gain)
+        ctx.remaining_bits = ctx.ec.storage * 8 * 8 - ctx.ec.tell_frac()
+        return ret
+    n0 = n
+    n >>= 1
+    y = x[n:]
+    lm -= 1
+    bb = (bb + 1) >> 1
+    theta_res = min(16, (b >> BITRES) // (n0 - 1) + 1)
+    if encode:
+        q30 = stereo_itheta_q30(x, y, 0, n)
+        qtheta = (q30 + (1 << (29 - theta_res))) >> (30 - theta_res)
+        ec.enc_uint(qtheta, (1 << theta_res) + 1)
+    else:
+        qtheta = ec.dec_uint((1 << theta_res) + 1)
+    itheta_q30 = qtheta << (30 - theta_res)
+    b -= theta_res << BITRES
+    delta = (n0 - 1) * 23 * ((itheta_q30 >> 16) - 8192) >> (17 - BITRES)
+    g1 = celt_cos_norm2(itheta_q30 * (1.0 / (1 << 30)))
+    g2 = celt_cos_norm2(1.0 - itheta_q30 * (1.0 / (1 << 30)))
+    if itheta_q30 == 0:
+        b1, b2 = b, 0
+    elif itheta_q30 == 1 << 30:
+        b1, b2 = 0, b
+    else:
+        b1 = min(b, max(0, (b - delta) // 2))
+        b2 = b - b1
+    cm = cubic_quant_partition(ctx, x, n, b1, bb, ec, lm, gain * g1,
+                               resynth, encode)
+    cm |= cubic_quant_partition(ctx, y, n, b2, bb, ec, lm, gain * g2,
+                                resynth, encode)
+    return cm
+
+
 def quant_band(ctx: BandCtx, x, n, b, bb, lowband, lm, lowband_out, gain,
-               lowband_scratch, fill) -> int:
+               lowband_scratch, fill, ext_b=0) -> int:
     """Mono band (reference: quant_band bands.c:1245)."""
     n0 = n
     n_b = n
@@ -642,7 +928,14 @@ def quant_band(ctx: BandCtx, x, n, b, bb, lowband, lm, lowband_out, gain,
             deinterleave_hadamard(lowband, n_b >> recombine,
                                   b0 << recombine, long_blocks)
 
-    cm = quant_partition(ctx, x, n, b, bb, lowband, lm, gain, fill)
+    if ctx.extra_bands and b > (3 * n << BITRES) + (ctx.m.logN[ctx.i]
+                                                    + 8 + 8 * lm):
+        # QEXT band: entire content cube-coded (reference: bands.c:1328-1331)
+        cm = cubic_quant_partition(ctx, x, n, b, bb, ctx.ec, lm, gain,
+                                   ctx.resynth, encode)
+    else:
+        cm = quant_partition(ctx, x, n, b, bb, lowband, lm, gain, fill,
+                             ext_b)
 
     if ctx.resynth:
         if b0 > 1:
@@ -671,8 +964,9 @@ MIN_STEREO_ENERGY = 1e-10
 
 
 def quant_band_stereo(ctx: BandCtx, x, y, n, b, bb, lowband, lm, lowband_out,
-                      lowband_scratch, fill) -> int:
-    """Stereo band (reference: quant_band_stereo bands.c:1387)."""
+                      lowband_scratch, fill, ext_b=0, cap=None) -> int:
+    """Stereo band (reference: quant_band_stereo bands.c:1387; QEXT
+    mid/side extra-bit reallocation bands.c:1516-1554)."""
     encode = ctx.encode
     ec = ctx.ec
     if n == 1:
@@ -688,15 +982,20 @@ def quant_band_stereo(ctx: BandCtx, x, y, n, b, bb, lowband, lm, lowband_out,
                 x[:n] = y[:n]
 
     sctx = SplitCtx()
-    b, fill = compute_theta(ctx, sctx, x, y, n, b, bb, bb, lm, 1, fill)
+    b, fill, ext_b = compute_theta(ctx, sctx, x, y, n, b, bb, bb, lm, 1,
+                                   fill, ext_b)
     inv = sctx.inv
     imid = sctx.imid
     iside = sctx.iside
     delta = sctx.delta
     itheta = sctx.itheta
     qalloc = sctx.qalloc
-    mid = imid / 32768.0
-    side = iside / 32768.0
+    if ctx.ext_ec is not None:
+        mid = celt_cos_norm2(sctx.itheta_q30 * (1.0 / (1 << 30)))
+        side = celt_cos_norm2(1.0 - sctx.itheta_q30 * (1.0 / (1 << 30)))
+    else:
+        mid = imid / 32768.0
+        side = iside / 32768.0
 
     if n == 2:
         mbits = b
@@ -717,7 +1016,7 @@ def quant_band_stereo(ctx: BandCtx, x, y, n, b, bb, lowband, lm, lowband_out,
                 sign = ec.dec_bits(1)
         sign = 1 - 2 * sign
         cm = quant_band(ctx, x2, n, mbits, bb, lowband, lm, lowband_out, 1.0,
-                        lowband_scratch, orig_fill)
+                        lowband_scratch, orig_fill, ext_b)
         y2[0] = -sign * x2[1]
         y2[1] = sign * x2[0]
         if ctx.resynth:
@@ -737,21 +1036,36 @@ def quant_band_stereo(ctx: BandCtx, x, y, n, b, bb, lowband, lm, lowband_out,
         ctx.remaining_bits -= qalloc
         rebalance = ctx.remaining_bits
         if mbits >= sbits:
+            qext_extra = 0
+            if cap is not None and ext_b != 0:
+                # reallocate unusable mid bits to mid refinement
+                # (reference: bands.c:1516-1519)
+                qext_extra = max(0, min(ext_b // 2, mbits - cap[ctx.i] // 2))
             cm = quant_band(ctx, x, n, mbits, bb, lowband, lm, lowband_out,
-                            1.0, lowband_scratch, fill)
+                            1.0, lowband_scratch, fill,
+                            ext_b // 2 + qext_extra)
             rebalance = mbits - (rebalance - ctx.remaining_bits)
             if rebalance > 3 << BITRES and itheta != 0:
                 sbits += rebalance - (3 << BITRES)
+            if ctx.extra_bands:
+                sbits = min(sbits, ctx.remaining_bits)
             cm |= quant_band(ctx, y, n, sbits, bb, None, lm, None, side,
-                             None, fill >> bb)
+                             None, fill >> bb, ext_b // 2 - qext_extra)
         else:
+            qext_extra = 0
+            if cap is not None and ext_b != 0:
+                # reallocate unusable side bits (reference: bands.c:1536-1539)
+                qext_extra = max(0, min(ext_b // 2, sbits - cap[ctx.i] // 2))
             cm = quant_band(ctx, y, n, sbits, bb, None, lm, None, side,
-                            None, fill >> bb)
+                            None, fill >> bb, ext_b // 2 + qext_extra)
             rebalance = sbits - (rebalance - ctx.remaining_bits)
             if rebalance > 3 << BITRES and itheta != 16384:
                 mbits += rebalance - (3 << BITRES)
+            if ctx.extra_bands:
+                mbits = min(mbits, ctx.remaining_bits)
             cm |= quant_band(ctx, x, n, mbits, bb, lowband, lm, lowband_out,
-                             1.0, lowband_scratch, fill)
+                             1.0, lowband_scratch, fill,
+                             ext_b // 2 - qext_extra)
 
     if ctx.resynth:
         if n != 2:
@@ -773,10 +1087,16 @@ def special_hybrid_folding(m: CeltMode, norm, norm2, start, M, dual_stereo):
 def quant_all_bands(encode, m: CeltMode, start, end, x_, y_, collapse_masks,
                     bandE, pulses, shortBlocks, spread, dual_stereo,
                     intensity, tf_res, total_bits, balance, ec, lm,
-                    coded_bands, seed, complexity=0, disable_inv=0):
+                    coded_bands, seed, complexity=0, disable_inv=0,
+                    ext_ec=None, extra_pulses=None, ext_total_bits=0,
+                    cap=None):
     """(reference: quant_all_bands bands.c:1589).  Returns new seed.
 
     x_/y_: [M*eBands[nbEBands]] norm arrays (per channel), modified in place.
+    QEXT: ext_ec is the extension-payload range coder, extra_pulses the
+    per-band refinement allocation, cap the main allocation caps; when
+    cap is None and ext_ec is set, the call codes the extension bands
+    themselves (ctx.extra_bands; reference bands.c:1673-1676).
     """
     eBands = m.eBands
     M = 1 << lm
@@ -796,7 +1116,12 @@ def quant_all_bands(encode, m: CeltMode, start, end, x_, y_, collapse_masks,
     ctx = BandCtx(encode=encode, resynth=resynth, m=m, i=0,
                   intensity=intensity, spread=spread, tf_change=0, ec=ec,
                   remaining_bits=0, bandE=bandE, seed=seed, theta_round=0,
-                  disable_inv=disable_inv, avoid_split_noise=B > 1)
+                  disable_inv=disable_inv, avoid_split_noise=B > 1,
+                  ext_ec=ext_ec, ext_total_bits=ext_total_bits,
+                  extra_bands=(ext_ec is not None and cap is None))
+    ext_balance = 0
+    ext_tell = 0
+    ext_b = 0
 
     for i in range(start, end):
         ctx.i = i
@@ -810,6 +1135,21 @@ def quant_all_bands(encode, m: CeltMode, start, end, x_, y_, collapse_masks,
             balance -= tell
         remaining_bits = total_bits - tell - 1
         ctx.remaining_bits = remaining_bits
+        if ext_ec is not None:
+            # running balance of unspent extension bits (bands.c:1713-1727)
+            if i != start:
+                ext_balance += extra_pulses[i - 1] + ext_tell
+            ext_tell = ext_ec.tell_frac()
+            if i != start:
+                ext_balance -= ext_tell
+            if i <= coded_bands - 1:
+                ext_curr_balance = _sudiv(ext_balance,
+                                          min(3, coded_bands - i))
+                ext_b = max(0, min(16383, min(
+                    ext_total_bits - ext_tell,
+                    extra_pulses[i] + ext_curr_balance)))
+            else:
+                ext_b = 0
         if i <= coded_bands - 1:
             curr_balance = _sudiv(balance, min(3, coded_bands - i))
             b = max(0, min(16383, min(remaining_bits + 1,
@@ -879,18 +1219,19 @@ def quant_all_bands(encode, m: CeltMode, start, end, x_, y_, collapse_masks,
 
         if dual_stereo:
             x_cm = quant_band(ctx, x, n, b // 2, B, lowband, lm, lowband_out,
-                              1.0, this_scratch, x_cm)
+                              1.0, this_scratch, x_cm, ext_b // 2)
             y_cm = quant_band(ctx, y, n, b // 2, B, lowband2, lm,
-                              lowband_out2, 1.0, this_scratch, y_cm)
+                              lowband_out2, 1.0, this_scratch, y_cm,
+                              ext_b // 2)
         else:
             if y is not None:
                 ctx.theta_round = 0
                 x_cm = quant_band_stereo(ctx, x, y, n, b, B, lowband, lm,
                                          lowband_out, this_scratch,
-                                         x_cm | y_cm)
+                                         x_cm | y_cm, ext_b, cap)
             else:
                 x_cm = quant_band(ctx, x, n, b, B, lowband, lm, lowband_out,
-                                  1.0, this_scratch, x_cm | y_cm)
+                                  1.0, this_scratch, x_cm | y_cm, ext_b)
             y_cm = x_cm
         collapse_masks[i * c + 0] = x_cm & 0xFF
         collapse_masks[i * c + c - 1] = y_cm & 0xFF
@@ -951,7 +1292,11 @@ def denormalise_bands(m: CeltMode, x, freq, band_log_e, start, end, M,
     if silence:
         bound = 0
         start = end = 0
-    freq[:M * m.eBands[start]] = 0
+    if start != 0:
+        # only zero below the start band when coding starts above DC; a
+        # QEXT-mode call (eBands[0]=100, start=0) must preserve the main
+        # bands already written (reference: bands.c:208-214)
+        freq[:M * m.eBands[start]] = 0
     for i in range(start, end):
         j = M * m.eBands[i]
         band_end = M * m.eBands[i + 1]

@@ -18,7 +18,7 @@ from ..bitstream import laplace
 from . import bands as B
 from . import alloc as A
 from .cwrs import BITRES
-from .modes import CeltMode, mode_create
+from .modes import CeltMode, mode_create, compute_qext_mode, NB_QEXT_BANDS
 from .tables import (E_PROB_MODEL, SMALL_ENERGY_ICDF, PRED_COEF, BETA_COEF,
                      BETA_INTRA, TRIM_ICDF, SPREAD_ICDF, TAPSET_ICDF,
                      SPREAD_NORMAL, TF_SELECT_TABLE, COMB_GAINS,
@@ -212,6 +212,7 @@ class CeltDecoder:
     qext_scale: int = 1     # 2 for the 96 kHz QEXT modes: the decode
                             # buffer and PLC periods double (reference:
                             # celt_decoder.c:267-269, QEXT_SCALE celt.h:267)
+    qext_oldBandE: np.ndarray = None   # [2*NB_QEXT_BANDS]
     preemph_memD: np.ndarray = None
     decode_mem: np.ndarray = None   # [CC, DECODE_BUFFER_SIZE+overlap]
     oldEBands: np.ndarray = None    # [2*nbEBands]
@@ -238,6 +239,7 @@ class CeltDecoder:
             (self.channels,
              self.qext_scale * DECODE_BUFFER_SIZE + self.mode.overlap))
         self.oldEBands = np.zeros(2 * nb)
+        self.qext_oldBandE = np.zeros(2 * NB_QEXT_BANDS)
         self.oldLogE = np.full(2 * nb, -28.0)
         self.oldLogE2 = np.full(2 * nb, -28.0)
         self.backgroundLogE = np.full(2 * nb, -28.0)
@@ -252,9 +254,13 @@ class CeltDecoder:
     # ------------------------------------------------------------------
     def decode_with_ec(self, data: bytes | None, pcm_out: np.ndarray,
                        frame_size: int, dec: RangeDecoder | None,
-                       accum: bool = False) -> int:
+                       accum: bool = False,
+                       qext_payload: bytes | None = None) -> int:
         """Decode one CELT frame.  pcm_out: [frame_size/downsample * CC]
-        interleaved float PCM in [-1, 1] (added when accum)."""
+        interleaved float PCM in [-1, 1] (added when accum).
+        qext_payload: extension-ID-124 payload carrying the quality
+        extensions (reference: celt_decode_with_ec celt_decoder.c:1106
+        ARG_QEXT(qext_payload))."""
         mode = self.mode
         nbEBands = mode.nbEBands
         overlap = mode.overlap
@@ -405,6 +411,44 @@ class CeltDecoder:
         unquant_fine_energy(mode, start, end, oldBandE, None, fine_quant,
                             dec, C)
 
+        # QEXT: parse the extension payload header, coarse extension-band
+        # energies and the extra-depth allocation (reference:
+        # celt_decoder.c:1462-1483)
+        qext_bytes = len(qext_payload) if qext_payload else 0
+        ext_dec = None
+        qext_mode = None
+        qext_end = 0
+        qext_intensity = 0
+        qext_dual_stereo = 0
+        extra_pulses = [0] * (nbEBands + NB_QEXT_BANDS)
+        extra_quant = [0] * (nbEBands + NB_QEXT_BANDS)
+        if qext_bytes > 0:
+            ext_dec = RangeDecoder(qext_payload)
+            if end == nbEBands and (
+                    (mode.Fs == 48000 and mode.shortMdctSize in (120, 90))
+                    or (mode.Fs == 96000
+                        and mode.shortMdctSize in (240, 180))):
+                qext_mode = compute_qext_mode(mode)
+                qext_end = NB_QEXT_BANDS if ext_dec.dec_bit_logp(1) else 2
+                if C == 2:
+                    # (reference: decode_qext_stereo_params
+                    #  celt_decoder.c:1097)
+                    qext_intensity = ext_dec.dec_uint(qext_end + 1)
+                    qext_dual_stereo = (ext_dec.dec_bit_logp(1)
+                                        if qext_intensity != 0 else 0)
+                qext_intra = (ext_dec.dec_bit_logp(3)
+                              if ec_tell(ext_dec) + 3 <= qext_bytes * 8
+                              else 0)
+                unquant_coarse_energy(qext_mode, 0, qext_end,
+                                      self.qext_oldBandE, qext_intra,
+                                      ext_dec, C, lm)
+            qext_bits = (qext_bytes * 8 << BITRES) - ext_dec.tell_frac() - 1
+            A.clt_compute_extra_allocation_decode(
+                mode, qext_mode, start, end, qext_end, qext_bits,
+                extra_pulses, extra_quant, C, lm, ext_dec)
+            unquant_fine_energy(mode, start, end, oldBandE, fine_quant,
+                                extra_quant, ext_dec, C)
+
         # slide decode memory left by N
         for ch in range(CC):
             self.decode_mem[ch, :dbuf - N + overlap] = \
@@ -419,15 +463,40 @@ class CeltDecoder:
             0, mode, start, end, x_, y_, collapse_masks, None, pulses,
             short_blocks, spread_decision, dual_stereo, intensity, tf_res,
             len_bytes * (8 << BITRES) - anti_collapse_rsv, balance, dec, lm,
-            coded_bands, self.rng, 0, self.disable_inv)
+            coded_bands, self.rng, 0, self.disable_inv,
+            ext_ec=ext_dec, extra_pulses=extra_pulses,
+            ext_total_bits=qext_bytes * (8 << BITRES),
+            cap=cap if qext_bytes > 0 else None)
+
+        if qext_mode is not None:
+            # decode the 20-48 kHz extension bands from the extension
+            # stream (reference: celt_decoder.c:1501-1518)
+            ext_balance = qext_bytes * (8 << BITRES) - ext_dec.tell_frac()
+            for i in range(qext_end):
+                ext_balance -= extra_pulses[nbEBands + i] \
+                    + C * (extra_quant[nbEBands + i] << BITRES)
+            unquant_fine_energy(qext_mode, 0, qext_end, self.qext_oldBandE,
+                                None, extra_quant[nbEBands:], ext_dec, C)
+            qext_collapse = np.zeros(C * NB_QEXT_BANDS, dtype=np.int64)
+            zeros_tf = [0] * NB_QEXT_BANDS
+            dummy_ext = RangeDecoder(b"")
+            self.rng = B.quant_all_bands(
+                0, qext_mode, 0, qext_end, x_, y_, qext_collapse, None,
+                extra_pulses[nbEBands:], short_blocks, spread_decision,
+                qext_dual_stereo, qext_intensity, zeros_tf,
+                qext_bytes * (8 << BITRES), ext_balance, ext_dec, lm,
+                qext_end, self.rng, 0, self.disable_inv,
+                ext_ec=dummy_ext, extra_pulses=[0] * NB_QEXT_BANDS,
+                ext_total_bits=0, cap=None)
 
         anti_collapse_on = 0
         if anti_collapse_rsv > 0:
             anti_collapse_on = dec.dec_bits(1)
 
-        unquant_energy_finalise(mode, start, end, oldBandE, fine_quant,
-                                fine_priority, len_bytes * 8 - ec_tell(dec),
-                                dec, C)
+        unquant_energy_finalise(mode, start, end,
+                                None if qext_bytes > 0 else oldBandE,
+                                fine_quant, fine_priority,
+                                len_bytes * 8 - ec_tell(dec), dec, C)
 
         if anti_collapse_on:
             self.rng = B.anti_collapse(mode, X, collapse_masks, lm, C, N,
@@ -439,7 +508,7 @@ class CeltDecoder:
 
         eff_end = min(end, mode.effEBands)
         self._synthesis(X, oldBandE, start, eff_end, C, CC, is_transient,
-                        lm, silence)
+                        lm, silence, qext_mode=qext_mode, qext_end=qext_end)
 
         # postfilter
         out_syn_off = dbuf - N
@@ -490,6 +559,10 @@ class CeltDecoder:
                 oldBandE[ch * nbEBands + i] = 0
                 oldLogE[ch * nbEBands + i] = oldLogE2[ch * nbEBands + i] = -28.0
         self.rng = dec.rng
+        if qext_bytes > 0:
+            # final range folds in the extension stream's range
+            # (reference: celt_decoder.c:1599)
+            self.rng = self.rng ^ ext_dec.rng
 
         self._deemphasis(pcm_out, out_syn_off, N, CC, accum)
         self.loss_duration = 0
@@ -502,9 +575,11 @@ class CeltDecoder:
 
     # ------------------------------------------------------------------
     def _synthesis(self, X, oldBandE, start, eff_end, C, CC, is_transient,
-                   lm, silence):
+                   lm, silence, qext_mode=None, qext_end=0):
         """denormalise + IMDCT + TDAC into decode_mem
         (reference: celt_synthesis celt_decoder.c:413)."""
+        if qext_mode is not None and self.mode.Fs != 96000:
+            qext_end = 2   # (reference: celt_decoder.c:434-435)
         mode = self.mode
         overlap = mode.overlap
         nbEBands = mode.nbEBands
@@ -529,11 +604,20 @@ class CeltDecoder:
             B.denormalise_bands(mode, X[cx * N:(cx + 1) * N], freq,
                                 oldBandE[cx * nbEBands:], start, eff_end,
                                 M, self.downsample, silence)
+            if qext_mode is not None:
+                B.denormalise_bands(qext_mode, X[cx * N:(cx + 1) * N], freq,
+                                    self.qext_oldBandE[cx * NB_QEXT_BANDS:],
+                                    0, qext_end, M, self.downsample, silence)
             if CC == 1 and C == 2:
                 freq2 = np.empty(N)
                 B.denormalise_bands(mode, X[N:2 * N], freq2,
                                     oldBandE[nbEBands:], start, eff_end,
                                     M, self.downsample, silence)
+                if qext_mode is not None:
+                    B.denormalise_bands(qext_mode, X[N:2 * N], freq2,
+                                        self.qext_oldBandE[NB_QEXT_BANDS:],
+                                        0, qext_end, M, self.downsample,
+                                        silence)
                 freq = 0.5 * (freq + freq2)
             # spec[b, k] = freq[b + nblocks*k]
             spec = freq.reshape(n2, nblocks).T

@@ -322,6 +322,54 @@ def mode_create(fs: int, frame_size: int) -> CeltMode:
         window=_vorbis_window(overlap), cache=cache)
 
 
+# ---------------------------------------------------------------------------
+# QEXT: extra high-frequency bands above the nominal 20 kHz limit
+# (reference: compute_qext_mode modes.c:501, qext_eBands modes.c:486-499)
+
+NB_QEXT_BANDS = 14
+
+# Band edges in shortMdctSize units covering 20-48 kHz.  The _240 layout is
+# used when shortMdctSize*48000 == 120*Fs (48 kHz/120 and 96 kHz/240 modes);
+# _180 when shortMdctSize*48000 == 90*Fs.
+_QEXT_EBANDS_240 = (100, 110, 120, 130, 140, 150, 160, 170, 180, 190, 200,
+                    210, 220, 230, 240)
+_QEXT_LOGN_240 = (27,) * 14
+_QEXT_EBANDS_180 = (74, 82, 90, 98, 106, 114, 122, 130, 138, 146, 154, 162,
+                    168, 174, 180)
+_QEXT_LOGN_180 = (24,) * 12 + (21, 21)
+
+_QEXT_MODES: dict = {}
+
+
+def compute_qext_mode(m: CeltMode) -> CeltMode:
+    """Derive the extension-band mode from a base mode (reference:
+    compute_qext_mode modes.c:501).  The qext mode shares everything with
+    the base except the band layout (14 bands over 20-48 kHz) and its own
+    PVQ pulse cache."""
+    key = (m.Fs, m.shortMdctSize, m.maxLM)
+    hit = _QEXT_MODES.get(key)
+    if hit is not None:
+        return hit
+    if m.shortMdctSize * 48000 == 120 * m.Fs:
+        ebands, logn = _QEXT_EBANDS_240, _QEXT_LOGN_240
+    elif m.shortMdctSize * 48000 == 90 * m.Fs:
+        ebands, logn = _QEXT_EBANDS_180, _QEXT_LOGN_180
+    else:
+        raise ValueError("mode has no QEXT band layout")
+    eff = NB_QEXT_BANDS
+    while ebands[eff] > m.shortMdctSize:
+        eff -= 1
+    cache = compute_pulse_cache(list(ebands), m.maxLM, list(logn))
+    qm = CeltMode(
+        Fs=m.Fs, overlap=m.overlap, nbEBands=NB_QEXT_BANDS, effEBands=eff,
+        preemph=m.preemph, eBands=ebands, maxLM=m.maxLM,
+        nbShortMdcts=m.nbShortMdcts, shortMdctSize=m.shortMdctSize,
+        nbAllocVectors=0, allocVectors=None, logN=logn,
+        window=m.window, cache=cache)
+    _QEXT_MODES[key] = qm
+    return qm
+
+
 def bits2pulses(mode: CeltMode, band: int, lm: int, bits: int) -> int:
     """Bisection over the per-band bit cache (rate.h:54)."""
     lm += 1

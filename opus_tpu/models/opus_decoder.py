@@ -12,6 +12,8 @@ import numpy as np
 
 from ..bitstream import packet as pkt
 from ..bitstream.range_coder import RangeDecoder, ec_tell
+
+QEXT_EXTENSION_ID = 124   # (reference: celt/celt.h QEXT_EXTENSION_ID)
 from ..celt.decoder import CeltDecoder, resampling_factor
 from ..silk.api import SilkDecoder
 from ..silk.tables import FLAG_DECODE_NORMAL, FLAG_PACKET_LOST
@@ -149,12 +151,32 @@ class OpusDecoder:
             self.last_packet_duration = frame_size
             return pcm
         out = []
-        for frame in frames:
+        qext_payloads = self._find_qext_payloads(data, len(frames))
+        for fi, frame in enumerate(frames):
             pcm = np.zeros(self.frame_size * self.channels)
-            self._decode_frame(frame, pcm, self.frame_size)
+            self._decode_frame(frame, pcm, self.frame_size,
+                               qext_payload=qext_payloads[fi])
             out.append(pcm)
         self.last_packet_duration = self.frame_size * len(frames)
         return np.concatenate(out) if out else np.zeros(0)
+
+    def _find_qext_payloads(self, data: bytes, count: int):
+        """Per-frame quality-extension payloads (extension ID 124) from
+        the packet padding (reference: opus_decode_native QEXT lookup
+        src/opus_decoder.c:849-863)."""
+        from ..bitstream.extensions import ExtensionIterator, ExtensionData
+        payloads = [None] * count
+        parsed = pkt.packet_parse(data)
+        if isinstance(parsed, int) or not parsed.padding:
+            return payloads
+        it = ExtensionIterator(parsed.padding, parsed.count)
+        while True:
+            ext = it.find(QEXT_EXTENSION_ID)
+            if not isinstance(ext, ExtensionData):
+                break
+            if 0 <= ext.frame < count and payloads[ext.frame] is None:
+                payloads[ext.frame] = bytes(ext.data)
+        return payloads
 
     def _smooth_fade(self, in1, in2, out, overlap):
         """(reference: smooth_fade src/opus_decoder.c:220): crossfade with
@@ -170,7 +192,7 @@ class OpusDecoder:
                     + (1 - g) * in1[i * ch + c]
 
     def _decode_frame(self, frame: bytes | None, pcm: np.ndarray,
-                      frame_size: int):
+                      frame_size: int, qext_payload: bytes | None = None):
         """(reference: opus_decode_frame src/opus_decoder.c:271)"""
         c = self.celt
         f20 = self.fs // 50
@@ -299,7 +321,8 @@ class OpusDecoder:
                     and not self.prev_redundancy:
                 c.reset()
             ret = c.decode_with_ec(frame, pcm, celt_frame_size, dec,
-                                   accum=(mode != pkt.Mode.CELT_ONLY))
+                                   accum=(mode != pkt.Mode.CELT_ONLY),
+                                   qext_payload=qext_payload)
             if ret < 0:
                 raise RuntimeError(f"celt decode failed ({ret})")
             self.rangeFinal = c.rng

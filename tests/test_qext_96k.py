@@ -149,3 +149,49 @@ def test_opus_96k_stream_decode_parity(tmp_path):
     n = min(len(ours), len(ref))
     # float64 vs the reference's float32 accumulates ~2 LSB over seconds
     assert np.abs(ours[:n] - ref[:n]).max() <= 2
+
+
+@needs_qext_demo
+@pytest.mark.parametrize("fs,ch,rate,ms", [
+    (96000, 1, 256000, 20),   # full QEXT, all 14 extension bands
+    (96000, 2, 128000, 20),   # stereo qext params + mid/side extra bits
+    (48000, 1, 192000, 20),   # 48 kHz refinement (qext_end=2)
+    (96000, 1, 64000, 10),    # low rate: cube-VQ fallback paths
+])
+def test_qext_stream_decode_parity(tmp_path, fs, ch, rate, ms):
+    """Full quality-extension decode: streams encoded with -qext must be
+    range-exact (main range XOR extension range, celt_decoder.c:1599)
+    and PCM-exact within 2 LSB vs the reference decoder.  Covers
+    compute_qext_mode, clt_compute_extra_allocation, theta/PVQ
+    refinement, and the cube-VQ extension bands."""
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    rng = np.random.default_rng(fs + ch + rate)
+    t = np.arange(fs) / fs
+    sig = (0.35 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * (0.3 * fs) * t)
+           + 0.05 * rng.standard_normal(len(t)))
+    if ch == 2:
+        sig = np.stack([sig, np.roll(sig, 13)], 1).reshape(-1)
+    inp = tmp_path / "in.pcm"
+    bit = tmp_path / "o.bit"
+    refp = tmp_path / "ref.pcm"
+    float2int16(sig).astype('<i2').tofile(inp)
+    subprocess.run([QEXT_DEMO, "-e", "restricted-lowdelay", str(fs),
+                    str(ch), str(rate), "-qext", "-framesize", str(ms),
+                    str(inp), str(bit)], check=True, capture_output=True)
+    subprocess.run([QEXT_DEMO, "-d", str(fs), str(ch), str(bit),
+                    str(refp)], check=True, capture_output=True)
+    ref = np.fromfile(refp, np.int16).astype(np.int64)
+    data = bit.read_bytes()
+    dec = OpusDecoder(fs, ch)
+    out = []
+    off = 0
+    while off < len(data):
+        ln, rng_ref = struct.unpack('>II', data[off:off + 8])
+        off += 8
+        out.append(float2int16(dec.decode(data[off:off + ln])))
+        off += ln
+        assert dec.rangeFinal == rng_ref
+    ours = np.concatenate(out).astype(np.int64)
+    n = min(len(ours), len(ref))
+    assert np.abs(ours[:n] - ref[:n]).max() <= 2
