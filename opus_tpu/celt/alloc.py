@@ -362,3 +362,139 @@ def clt_compute_extra_allocation_decode(m: CeltMode, qext_mode, start, end,
             depth[i] = 0
     _depths_to_alloc(m, qext_mode, start, end, qext_end, depth,
                      extra_pulses, extra_equant, c, lm)
+
+
+def _median_of_5(x) -> float:
+    """(reference: median_of_5_val16 rate.c:692)"""
+    t2 = x[2]
+    if x[0] > x[1]:
+        t0, t1 = x[1], x[0]
+    else:
+        t0, t1 = x[0], x[1]
+    if x[3] > x[4]:
+        t3, t4 = x[4], x[3]
+    else:
+        t3, t4 = x[3], x[4]
+    if t0 > t3:
+        t0, t3 = t3, t0
+        t1, t4 = t4, t1
+    if t2 > t1:
+        return min(t2, t3) if t1 < t3 else min(t4, t1)
+    return min(t1, t3) if t2 < t3 else min(t2, t4)
+
+
+def clt_compute_extra_allocation_encode(m: CeltMode, qext_mode, start, end,
+                                        qext_end, band_log_e, qext_band_log_e,
+                                        total, extra_pulses, extra_equant,
+                                        c, lm, ec, tone_freq=0.0,
+                                        toneishness=0.0):
+    """Encode-side extra-depth allocation (reference:
+    clt_compute_extra_allocation rate.c:725, float build): derives a
+    per-band target depth from the flattened spectrum and codes it with
+    ec_enc_depth.  band_log_e/qext_band_log_e: [2*nbEBands]-style arrays."""
+    from .tables import E_MEANS
+    import math as _m
+    if qext_mode is not None:
+        tot_bands = end + qext_end
+        tot_samples = (qext_mode.eBands[qext_end] - m.eBands[start]) * c << lm
+    else:
+        tot_bands = end
+        tot_samples = (m.eBands[end] - m.eBands[start]) * c << lm
+    nb = m.nbEBands + (qext_end if qext_mode is not None else 0)
+    cap = [14] * tot_bands
+    if total <= 0:
+        for i in range(start, nb):
+            extra_pulses[i] = extra_equant[i] = 0
+        return
+    flat_e = [0.0] * tot_bands
+    mins = [0.0] * tot_bands
+    ncoef = [0] * tot_bands
+    for i in range(start, end):
+        ncoef[i] = (m.eBands[i + 1] - m.eBands[i]) * c << lm
+        flat_e[i] = band_log_e[i] - 0.0625 * m.logN[i] + E_MEANS[i] \
+            - 0.0062 * (i + 5) * (i + 5)
+    if c == 2:
+        for i in range(start, end):
+            flat_e[i] = max(flat_e[i],
+                            band_log_e[m.nbEBands + i] - 0.0625 * m.logN[i]
+                            + E_MEANS[i] - 0.0062 * (i + 5) * (i + 5))
+    if qext_mode is not None:
+        min_depth = 0.0
+        if (total >= 3 * c * (qext_mode.eBands[qext_end]
+                              - qext_mode.eBands[0]) << lm << BITRES
+                and (toneishness < 0.98 or tone_freq > 1.33)):
+            min_depth = 1.0
+        qe = qext_mode.eBands
+        for i in range(qext_end):
+            ncoef[end + i] = (qe[i + 1] - qe[i]) * c << lm
+            mins[end + i] = min_depth
+            flat_e[end + i] = qext_band_log_e[i] - 0.0625 * qext_mode.logN[i] \
+                + E_MEANS[i] - 0.0062 * (end + i + 5) * (end + i + 5)
+        if c == 2:
+            from .modes import NB_QEXT_BANDS
+            for i in range(qext_end):
+                flat_e[end + i] = max(
+                    flat_e[end + i],
+                    qext_band_log_e[NB_QEXT_BANDS + i]
+                    - 0.0625 * qext_mode.logN[i] + E_MEANS[i]
+                    - 0.0062 * (end + i + 5) * (end + i + 5))
+    follower = [0.0] * tot_bands
+    if tot_bands - start >= 5:
+        for i in range(start + 2, tot_bands - 2):
+            follower[i] = _median_of_5(flat_e[i - 2:i + 3])
+        follower[start] = follower[start + 1] = follower[start + 2]
+        follower[tot_bands - 1] = follower[tot_bands - 2] = \
+            follower[tot_bands - 3]
+    else:
+        for i in range(start, tot_bands):
+            follower[i] = flat_e[i]
+    for i in range(start + 1, tot_bands):
+        follower[i] = max(follower[i], follower[i - 1] - 1.0)
+    for i in range(tot_bands - 2, start - 1, -1):
+        follower[i] = max(follower[i], follower[i + 1] - 1.0)
+    if qext_mode is not None:
+        for i in range(qext_end):
+            flat_e[end + i] += 4.0 + 0.3 * i
+            follower[end + i] += 5.0 + 0.6 * i
+    for off, amt in ((4, 0.25), (3, 0.5), (2, 1.2), (1, 2.0)):
+        flat_e[end - off] += amt
+        follower[end - off] += amt
+    dyn_cap = [max(0.0, min(flat_e[i] + 9.0, float(cap[i])))
+               for i in range(tot_bands)]
+    total >>= BITRES
+    ssum = sum(ncoef[i] * dyn_cap[i] for i in range(start, tot_bands))
+    depth = [0] * tot_bands
+    last = 0
+    if ssum <= total:
+        dyn_tot = max(1, sum(ncoef[i] for i in range(start, tot_bands)
+                             if dyn_cap[i] > 0))
+        overfill = (total - ssum) / dyn_tot
+        for i in range(start, tot_bands):
+            if dyn_cap[i] > 0:
+                dyn_cap[i] = min(float(cap[i]), dyn_cap[i] + overfill)
+        for i in range(start, tot_bands):
+            depth[i] = int(_m.floor(0.5 + 4 * dyn_cap[i]))
+            if ec.tell_frac() + 80 < ec.storage * 8 << BITRES:
+                last = ec_enc_depth(ec, depth[i], 4 * cap[i], last)
+            else:
+                depth[i] = 0
+    else:
+        for i in range(start, tot_bands):
+            flat_e[i] -= (1.0 - toneishness) * follower[i]
+        ssum = sum(ncoef[i] * flat_e[i] for i in range(start, tot_bands))
+        fill = (total + ssum) / tot_samples
+        for _ in range(20):
+            ssum = sum(ncoef[i] * min(dyn_cap[i], max(mins[i],
+                                                      flat_e[i] - fill))
+                       for i in range(start, tot_bands))
+            fill -= (total - ssum) / tot_samples
+        for i in range(start, tot_bands):
+            depth[i] = int(_m.floor(0.5 + 4 * min(dyn_cap[i],
+                                                  max(mins[i],
+                                                      flat_e[i] - fill))))
+            if ec.tell_frac() + 80 < ec.storage * 8 << BITRES:
+                last = ec_enc_depth(ec, depth[i], 4 * cap[i], last)
+            else:
+                depth[i] = 0
+    _depths_to_alloc(m, qext_mode, start, end, qext_end, depth,
+                     extra_pulses, extra_equant, c, lm)

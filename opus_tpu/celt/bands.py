@@ -340,11 +340,129 @@ def alg_unquant_ext(x: np.ndarray, n: int, k: int, spread: int, b: int,
     return extract_collapse_mask(iy, n, b)
 
 
+def ec_enc_refine(enc, refine: int, up: int, extra_bits: int,
+                  use_entropy: bool) -> None:
+    """(reference: ec_enc_refine vq.c:524)"""
+    large = abs(refine) > up // 2 and refine != up // 2 + 1
+    enc.enc_bit_logp(1 if large else 0, 3 if use_entropy else 1)
+    if large:
+        enc.enc_bits(1 if refine < 0 else 0, 1)
+        enc.enc_bits(abs(refine) - up // 2 - 1, extra_bits - 1)
+    else:
+        enc.enc_bits(refine + up // 2, extra_bits)
+
+
+def _op_pvq_search_n2(x, k: int, up: int):
+    """2-D search at base and up-scaled resolution (reference:
+    op_pvq_search_N2 vq.c:379, float path).  Returns (iy, up_iy, refine,
+    yy)."""
+    ssum = abs(x[0]) + abs(x[1])
+    if ssum < EPSILON:
+        return [k, 0], [up * k, 0], 0, float(k) * k * up * up
+    rcp = 1.0 / ssum
+    iy0 = int(math.floor(0.5 + k * x[0] * rcp))
+    up_iy0 = int(math.floor(0.5 + up * k * x[0] * rcp))
+    up_iy0 = max(up * iy0 - (up - 1) // 2,
+                 min(up * iy0 + (up - 1) // 2, up_iy0))
+    offset = up_iy0 - up * iy0
+    iy1 = k - abs(iy0)
+    up_iy1 = up * k - abs(up_iy0)
+    if x[1] < 0:
+        iy1 = -iy1
+        up_iy1 = -up_iy1
+        offset = -offset
+    yy = float(up_iy0) * up_iy0 + float(up_iy1) * up_iy1
+    return [iy0, iy1], [up_iy0, up_iy1], offset, yy
+
+
+def _op_pvq_refine(xn, iy, iy0, k: int, up: int, margin: int,
+                   n: int) -> bool:
+    """L1-projection rounding refinement (reference: op_pvq_refine
+    vq.c:426, float path).  Returns True on failure."""
+    rounding = [0.0] * n
+    for i in range(n):
+        tmp = k * xn[i]
+        iy[i] = int(math.floor(0.5 + tmp))
+        rounding[i] = tmp - iy[i]
+    if iy is not iy0:
+        for i in range(n):
+            iy[i] = min(up * iy0[i] + up - 1, max(up * iy0[i] - up + 1,
+                                                  iy[i]))
+    iysum = sum(iy)
+    if abs(iysum - k) > 32:
+        return True
+    direc = 1 if iysum < k else -1
+    while iysum != k:
+        roundval = -1000000.0 * direc
+        roundpos = 0
+        for i in range(n):
+            if ((rounding[i] - roundval) * direc > 0
+                    and abs(iy[i] - up * iy0[i]) < (margin - 1)
+                    and not (direc == -1 and iy[i] == 0)):
+                roundval = rounding[i]
+                roundpos = i
+        iy[roundpos] += direc
+        rounding[roundpos] -= direc
+        iysum += direc
+    return False
+
+
+def _op_pvq_search_extra(x, k: int, up: int, n: int):
+    """General-N two-resolution search (reference: op_pvq_search_extra
+    vq.c:469, float path).  Returns (iy, up_iy, refine, yy)."""
+    ssum = float(np.sum(np.abs(x[:n])))
+    xn = [0.0] * n
+    failed = ssum < EPSILON
+    if not failed:
+        rcp = 1.0 / ssum
+        for i in range(n):
+            xn[i] = abs(x[i]) * rcp
+    iy = [0] * n
+    up_iy = [0] * n
+    failed = failed or _op_pvq_refine(xn, iy, iy, k, 1, k + 1, n)
+    failed = failed or _op_pvq_refine(xn, up_iy, iy, up * k, up, up, n)
+    if failed:
+        iy = [k] + [0] * (n - 1)
+        up_iy = [up * k] + [0] * (n - 1)
+    yy = 0.0
+    refine = [0] * n
+    for i in range(n):
+        yy += float(up_iy[i]) * up_iy[i]
+        if x[i] < 0:
+            iy[i] = -iy[i]
+            up_iy[i] = -up_iy[i]
+        refine[i] = up_iy[i] - up * iy[i]
+    return iy, up_iy, refine, yy
+
+
 def alg_quant_ext(x, n, k, spread, b, enc, gain, resynth, ext_enc,
-                  extra_bits):
-    """PVQ encode with QEXT refinement (reference: alg_quant vq.c:573-603).
-    Encode-side QEXT lands with the 96 kHz encoder; decode-only for now."""
-    raise NotImplementedError("QEXT encoding not yet wired")
+                  extra_bits) -> int:
+    """PVQ encode with QEXT resolution refinement (reference: alg_quant
+    vq.c:573-603): codes the base pulse vector in the main stream and
+    per-coefficient corrections at up=(2^extra_bits)-1 resolution in the
+    extension stream."""
+    assert k > 0 and n > 1
+    exp_rotation(x, n, 1, b, k, spread)
+    up = (1 << extra_bits) - 1
+    if n == 2:
+        iy, up_iy, refine, yy = _op_pvq_search_n2(x, k, up)
+        mask = extract_collapse_mask(up_iy, n, b)
+        encode_pulses(enc, iy, n, k)
+        ext_enc.enc_uint(refine + (up - 1) // 2, up)
+    else:
+        iy, up_iy, refine, yy = _op_pvq_search_extra(x, k, up, n)
+        mask = extract_collapse_mask(up_iy, n, b)
+        encode_pulses(enc, iy, n, k)
+        use_entropy = (ext_enc.storage * 8 - ext_enc.tell()) > \
+            (n - 1) * (extra_bits + 3) + 1
+        for i in range(n - 1):
+            ec_enc_refine(ext_enc, refine[i], up, extra_bits, use_entropy)
+        if iy[n - 1] == 0:
+            ext_enc.enc_bits(1 if up_iy[n - 1] < 0 else 0, 1)
+    if resynth:
+        normalise_residual(up_iy, x, n, yy, gain)
+        exp_rotation(x, n, -1, b, k, spread)
+    return mask
 
 
 def cubic_synthesis(x: np.ndarray, iy, n: int, k: int, face: int, sign: int,

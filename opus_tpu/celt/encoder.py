@@ -22,7 +22,8 @@ from .cwrs import BITRES
 from .energy import (amp2log2, compute_band_energies, normalise_bands,
                      quant_coarse_energy, quant_fine_energy,
                      quant_energy_finalise)
-from .modes import CeltMode, mode_create
+from .modes import (CeltMode, mode_create, compute_qext_mode,
+                    NB_QEXT_BANDS)
 from .pitch import pitch_downsample, pitch_search, remove_doubling
 from .tables import (SPREAD_NONE, SPREAD_NORMAL, SPREAD_AGGRESSIVE,
                      TF_SELECT_TABLE, SPREAD_ICDF, TAPSET_ICDF, TRIM_ICDF,
@@ -593,6 +594,10 @@ class CeltEncoder:
     analysis: object = None
     # per-band surround energy mask (reference: OPUS_SET_ENERGY_MASK)
     energy_mask: object = None
+    # quality extensions (reference: OPUS_SET_QEXT; celt_encoder.c:2535)
+    enable_qext: int = 0
+    qext_oldBandE: object = None    # [2*NB_QEXT_BANDS] coarse-energy state
+    qext_payload: bytes | None = None   # ID byte + ext stream (per frame)
     rng: int = 0
     # spectral state
     spread_decision: int = SPREAD_NORMAL
@@ -646,6 +651,8 @@ class CeltEncoder:
         self.oldLogE = np.full(cc * nb, -28.0)
         self.oldLogE2 = np.full(cc * nb, -28.0)
         self.energyError = np.zeros(cc * nb)
+        self.qext_oldBandE = np.zeros(2 * NB_QEXT_BANDS)
+        self.qext_payload = None
         self.preemph_memE = np.zeros((cc, 1))
         self.rng = 0
         self.delayedIntra = 1.0
@@ -702,7 +709,8 @@ class CeltEncoder:
             tell0_frac = ec_tell_frac(enc)
             tell = ec_tell(enc)
             nb_filled_bytes = (tell + 4) >> 3
-        nb_compressed_bytes = min(nb_compressed_bytes, 1275)
+        nb_compressed_bytes = min(nb_compressed_bytes,
+                                  3825 if self.enable_qext else 1275)
 
         if self.vbr and self.bitrate != OPUS_BITRATE_MAX:
             vbr_rate = (self.bitrate * 6 // (6 * mode.Fs // frame_size)) << BITRES
@@ -1072,7 +1080,9 @@ class CeltEncoder:
 
         if vbr_rate > 0:
             lm_diff = mode.maxLM - lm
-            nb_compressed_bytes = min(nb_compressed_bytes, 1275 >> (3 - lm))
+            nb_compressed_bytes = min(
+                nb_compressed_bytes,
+                (3825 if self.enable_qext else 1275) >> (3 - lm))
             if not hybrid:
                 base_target = vbr_rate - ((40 * C + 20) << BITRES)
             else:
@@ -1126,6 +1136,48 @@ class CeltEncoder:
             nb_compressed_bytes = min(nb_compressed_bytes, nb_available_bytes)
             enc.shrink(nb_compressed_bytes)
 
+        # ---- quality extensions: split the byte budget into the main
+        # payload and the extension payload (reference:
+        # celt_encoder.c:2535-2596) ----
+        qext_bytes = 0
+        ext_enc = None
+        qext_mode = None
+        qext_end = 0
+        qext_intensity = 0
+        qext_dual_stereo = 0
+        self.qext_payload = None
+        if self.enable_qext:
+            qext_scale = 2 if (mode.Fs == 96000
+                               and mode.shortMdctSize in (240, 180)) else 1
+            # no extension bits below 80 kb/s per channel; 80% of the excess
+            offset_b = (C * 80000 * 6 // (6 * mode.Fs // frame_size)) // 8
+            qext_bytes = max(nb_compressed_bytes - 1275,
+                             max(0, (nb_compressed_bytes - offset_b) * 4 // 5))
+            if qext_bytes > 20:
+                qext_bytes = max(nb_compressed_bytes - 1275,
+                                 max(21, qext_bytes))
+            padding_len_bytes = (qext_bytes + 253) // 254
+            qext_bytes = min(qext_bytes, nb_compressed_bytes - min_allowed
+                             - padding_len_bytes - 1)
+            padding_len_bytes = (qext_bytes + 253) // 254
+            if qext_bytes > 20:
+                nb_compressed_bytes = nb_compressed_bytes - qext_bytes \
+                    - padding_len_bytes - 1
+                enc.shrink(nb_compressed_bytes)
+                qext_bytes -= 1   # extension ID byte
+                ext_enc = RangeEncoder(qext_bytes)
+                if end == nbE and mode.Fs in (48000, 96000) \
+                        and mode.shortMdctSize in (120 * qext_scale,
+                                                   90 * qext_scale):
+                    qext_mode = compute_qext_mode(mode)
+                    qext_end = NB_QEXT_BANDS if qext_scale == 2 else 2
+                    ext_enc.enc_bit_logp(
+                        1 if qext_end == NB_QEXT_BANDS else 0, 1)
+            else:
+                qext_bytes = 0
+                nb_compressed_bytes = min(nb_compressed_bytes, 1275)
+                enc.shrink(nb_compressed_bytes)
+
         # allocation
         bits = (nb_compressed_bytes * 8 << BITRES) - ec_tell_frac(enc) - 1
         anti_collapse_rsv = (1 << BITRES) if (
@@ -1150,6 +1202,46 @@ class CeltEncoder:
                           fine_quant, enc, C)
         self.energyError[:] = 0
 
+        # QEXT: extension-band energies + extra allocation + main-band
+        # fine-energy refinement (reference: celt_encoder.c:2641-2668)
+        extra_pulses = [0] * (nbE + NB_QEXT_BANDS)
+        extra_quant = [0] * (nbE + NB_QEXT_BANDS)
+        qext_band_e = np.zeros(2 * NB_QEXT_BANDS)
+        qext_band_log_e = np.zeros(2 * NB_QEXT_BANDS)
+        qext_error = np.zeros(C * NB_QEXT_BANDS)
+        error_bak = None
+        if ext_enc is not None:
+            if qext_mode is not None:
+                compute_band_energies(qext_mode, freq, qext_band_e,
+                                      qext_end, C, lm)
+                normalise_bands(qext_mode, freq, X, qext_band_e, qext_end,
+                                C, M)
+                amp2log2(qext_mode, qext_end, qext_end, qext_band_e,
+                         qext_band_log_e, C)
+                if C == 2:
+                    # (reference: encode_qext_stereo_params
+                    #  celt_encoder.c:1720)
+                    qext_intensity = qext_end
+                    qext_dual_stereo = dual_stereo
+                    ext_enc.enc_uint(qext_intensity, qext_end + 1)
+                    if qext_intensity != 0:
+                        ext_enc.enc_bit_logp(qext_dual_stereo, 1)
+                quant_coarse_energy(qext_mode, 0, qext_end, qext_end,
+                                    qext_band_log_e, self.qext_oldBandE,
+                                    qext_bytes * 8, qext_error, ext_enc,
+                                    C, lm, qext_bytes, self.force_intra,
+                                    0.0, self.complexity >= 4,
+                                    self.loss_rate, self.lfe)
+            qext_bits = (qext_bytes * 8 << BITRES) \
+                - ext_enc.tell_frac() - 1
+            A.clt_compute_extra_allocation_encode(
+                mode, qext_mode, start, end, qext_end, band_log_e,
+                qext_band_log_e, qext_bits, extra_pulses, extra_quant,
+                C, lm, ext_enc, tone_freq, toneishness)
+            error_bak = error.copy()
+            quant_fine_energy(mode, start, end, self.oldBandE, error,
+                              fine_quant, extra_quant, ext_enc, C)
+
         collapse_masks = np.zeros(C * nbE, dtype=np.int64)
         x_ = X[:N]
         y_ = X[N:] if C == 2 else None
@@ -1158,14 +1250,49 @@ class CeltEncoder:
             short_blocks, self.spread_decision, dual_stereo, self.intensity,
             tf_res, nb_compressed_bytes * (8 << BITRES) - anti_collapse_rsv,
             balance, enc, lm, coded_bands, self.rng, self.complexity,
-            self.disable_inv)
+            self.disable_inv,
+            ext_ec=ext_enc, extra_pulses=extra_pulses,
+            ext_total_bits=qext_bytes * (8 << BITRES),
+            cap=cap if ext_enc is not None else None)
+
+        if qext_mode is not None:
+            # code the 20-48 kHz extension bands (reference:
+            # celt_encoder.c:2680-2696)
+            ext_balance = qext_bytes * (8 << BITRES) - ext_enc.tell_frac()
+            for i in range(qext_end):
+                ext_balance -= extra_pulses[nbE + i] \
+                    + C * (extra_quant[nbE + i] << BITRES)
+            quant_fine_energy(qext_mode, 0, qext_end, self.qext_oldBandE,
+                              qext_error, None, extra_quant[nbE:], ext_enc,
+                              C)
+            qext_collapse = np.zeros(C * NB_QEXT_BANDS, dtype=np.int64)
+            zeros_tf = [0] * NB_QEXT_BANDS
+            dummy_ext = RangeEncoder(0)
+            self.rng = B.quant_all_bands(
+                1, qext_mode, 0, qext_end, x_, y_, qext_collapse,
+                qext_band_e, extra_pulses[nbE:], short_blocks,
+                self.spread_decision, qext_dual_stereo, qext_intensity,
+                zeros_tf, qext_bytes * (8 << BITRES), ext_balance, ext_enc,
+                lm, qext_end, self.rng, self.complexity, self.disable_inv,
+                ext_ec=dummy_ext, extra_pulses=[0] * NB_QEXT_BANDS,
+                ext_total_bits=0, cap=None)
 
         if anti_collapse_rsv > 0:
             anti_collapse_on = 1 if self.consec_transient < 2 else 0
             enc.enc_bits(anti_collapse_on, 1)
-        quant_energy_finalise(mode, start, end, self.oldBandE, error,
-                              fine_quant, fine_priority,
-                              nb_compressed_bytes * 8 - ec_tell(enc), enc, C)
+        if qext_bytes == 0:
+            quant_energy_finalise(mode, start, end, self.oldBandE, error,
+                                  fine_quant, fine_priority,
+                                  nb_compressed_bytes * 8 - ec_tell(enc),
+                                  enc, C)
+        else:
+            # with extension refinement the finalise bits are coded from
+            # the pre-refinement error without updating the energy state
+            # (reference: celt_encoder.c:2717-2718)
+            quant_energy_finalise(mode, start, end, None, error_bak,
+                                  fine_quant, fine_priority,
+                                  nb_compressed_bytes * 8 - ec_tell(enc),
+                                  enc, C)
         for c in range(C):
             for i in range(start, end):
                 self.energyError[i + c * nbE] = max(-0.5,
@@ -1200,6 +1327,11 @@ class CeltEncoder:
             self.consec_transient = 0
         self.rng = enc.rng
         enc.done()
+        if ext_enc is not None:
+            ext_enc.done()
+            self.rng = self.rng ^ ext_enc.rng   # (celt_encoder.c:2820)
+            self.qext_payload = bytes([124 << 1]) \
+                + bytes(ext_enc.buf[:qext_bytes])
         if enc.error:
             return -3
         return nb_compressed_bytes

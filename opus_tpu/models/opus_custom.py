@@ -79,6 +79,10 @@ class OpusCustomEncoder:
     def set_complexity(self, c):
         self.celt.complexity = max(0, min(10, c))
 
+    def set_qext(self, enabled: int):
+        """Enable the quality extensions (reference: OPUS_SET_QEXT)."""
+        self.celt.enable_qext = 1 if enabled else 0
+
     def encode(self, pcm: np.ndarray, frame_size: int,
                max_bytes: int = 1275) -> bytes:
         """pcm: float [-1,1] interleaved.  Returns the packet including
@@ -105,6 +109,16 @@ class OpusCustomEncoder:
                                      frame_size, max_bytes - 1, enc)
         if n < 0:
             raise RuntimeError(f"encode failed ({n})")
+        qext = self.celt.qext_payload
+        if qext:
+            # code-3 + padding packaging of the extension payload
+            # (reference: celt_encoder.c:2565-2578)
+            q = len(qext)
+            padlen = (q + 253) // 254
+            pad = bytes([255] * (padlen - 1)) \
+                + bytes([254 if q % 254 == 0 else q % 254])
+            return bytes([header | 0x03, 0x41]) + pad \
+                + bytes(enc.buf[:n]) + qext
         return bytes([header]) + bytes(enc.buf[:n])
 
 
@@ -137,14 +151,48 @@ class OpusCustomDecoder:
         data0 = data[0]
         if self.custom_mode.is_standard:
             data0 = _from_opus(data0)
+            if data0 < 0:
+                raise ValueError("invalid custom packet header")
         self.celt.end = max(1, mode.effEBands - 2 * (data0 >> 5))
         lm = (data0 >> 3) & 0x3
         c = 1 + ((data0 >> 2) & 0x1)
         if lm > mode.maxLM:
             raise ValueError("invalid packet")
         self.celt.stream_channels = c
+        payload = data[1:]
+        qext_payload = None
+        if (data[0] & 0x03) == 0x03 and len(payload) >= 1:
+            # code-3 padding carrying the quality extension
+            # (reference: celt_decoder.c:1216-1242)
+            if payload[0] & 0x40:
+                body = payload[1:]
+                length = len(body)
+                padding = 0
+                pos = 0
+                while True:
+                    if length <= 0:
+                        raise ValueError("invalid packet")
+                    p = body[pos]
+                    pos += 1
+                    length -= 1
+                    tmp = 254 if p == 255 else p
+                    length -= tmp
+                    padding += tmp
+                    if p != 255:
+                        break
+                padding -= 1
+                if length <= 0 or padding < 0:
+                    raise ValueError("invalid packet")
+                body = body[pos:]
+                if padding > 0 and body[length] == 124 << 1:
+                    qext_payload = bytes(body[length + 1:
+                                              length + 1 + padding])
+                payload = body[:length]
+            else:
+                payload = payload[1:]
         pcm = np.zeros(frame_size * self.channels)
-        n = self.celt.decode_with_ec(data[1:], pcm, frame_size, None)
+        n = self.celt.decode_with_ec(payload, pcm, frame_size, None,
+                                     qext_payload=qext_payload)
         if n < 0:
             raise ValueError(f"decode failed ({n})")
         return pcm

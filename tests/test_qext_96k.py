@@ -195,3 +195,66 @@ def test_qext_stream_decode_parity(tmp_path, fs, ch, rate, ms):
     ours = np.concatenate(out).astype(np.int64)
     n = min(len(ours), len(ref))
     assert np.abs(ours[:n] - ref[:n]).max() <= 2
+
+
+def test_qext_encode_preserves_ultrasonic():
+    """A 30 kHz tone survives a 96 kHz encode only when the quality
+    extension is on: the extension bands carry 20-48 kHz
+    (celt_encoder.c:2535 split, 2680 extension-band coding)."""
+    mode = _mode96_mono()
+    rng = np.random.default_rng(4)
+    t = np.arange(1920 * 8) / 96000.0
+    sig = (0.3 * np.sin(2 * np.pi * 440 * t)
+           + 0.25 * np.sin(2 * np.pi * 30000 * t)
+           + 0.01 * rng.standard_normal(len(t)))
+    ratios = {}
+    for q in (0, 1):
+        enc = OpusCustomEncoder(mode, 1)
+        enc.set_bitrate(256000)
+        enc.set_qext(q)
+        dec = OpusCustomDecoder(mode, 1)
+        out = np.concatenate([
+            dec.decode(enc.encode(sig[i * 1920:(i + 1) * 1920], 1920,
+                                  max_bytes=700), 1920)
+            for i in range(8)])
+        seg = out[1920 * 3:]
+        spec = np.abs(np.fft.rfft(seg))
+        freqs = np.fft.rfftfreq(len(seg), 1 / 96000)
+        rspec = np.abs(np.fft.rfft(sig[1920 * 3:1920 * 3 + len(seg)]))
+        ratios[q] = (float(np.sum(spec[freqs > 24000] ** 2))
+                     / float(np.sum(rspec[freqs > 24000] ** 2)))
+    assert ratios[0] < 0.01          # no extension: HF is gone
+    assert 0.8 < ratios[1] < 1.2     # extension carries it
+
+
+@needs_qext_lib
+def test_qext_encode_reference_decode_parity():
+    """Packets from our QEXT encoder must decode identically in the
+    reference decoder and ours (interop both directions)."""
+    lib = ctypes.CDLL(QEXT_LIB)
+    lib.opus_custom_mode_create.restype = ctypes.c_void_p
+    lib.opus_custom_decoder_create.restype = ctypes.c_void_p
+    err = ctypes.c_int()
+    rmode = lib.opus_custom_mode_create(96000, 1920, ctypes.byref(err))
+    rdec = lib.opus_custom_decoder_create(ctypes.c_void_p(rmode), 1,
+                                          ctypes.byref(err))
+    mode = _mode96_mono()
+    enc = OpusCustomEncoder(mode, 1)
+    enc.set_bitrate(256000)
+    enc.set_qext(1)
+    dec = OpusCustomDecoder(mode, 1)
+    rng = np.random.default_rng(9)
+    t = np.arange(1920 * 8) / 96000.0
+    pcm = (0.3 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 30000 * t)
+           + 0.02 * rng.standard_normal(len(t)))
+    for i in range(8):
+        p = enc.encode(pcm[i * 1920:(i + 1) * 1920], 1920, max_bytes=700)
+        assert len(p) > 300   # extension bytes actually present
+        ours = float2int16(dec.decode(p, 1920)).astype(np.int64)
+        buf = (ctypes.c_int16 * 1920)()
+        n = lib.opus_custom_decode(ctypes.c_void_p(rdec), p, len(p),
+                                   buf, 1920)
+        assert n == 1920
+        ref = np.asarray(buf[:], np.int64)
+        assert np.abs(ours - ref).max() <= 1, f"frame {i}"
