@@ -633,9 +633,14 @@ class CeltEncoder:
 
     @classmethod
     def create(cls, fs: int, channels: int):
-        mode = mode_create(48000, 960)
+        # the 96 kHz QEXT family runs on its own mode; everything else
+        # runs the standard 48 kHz mode with upsampling
+        if fs == 96000:
+            mode = mode_create(96000, 1920)
+        else:
+            mode = mode_create(48000, 960)
         st = cls(mode=mode, channels=channels, stream_channels=channels)
-        st.upsample = resampling_factor(fs)
+        st.upsample = 1 if fs == 96000 else resampling_factor(fs)
         st.end = mode.effEBands
         st.disable_inv = 1 if channels == 1 else 0
         st.reset()

@@ -191,7 +191,7 @@ class OpusEncoder:
     APPLICATIONS = ("voip", "audio", "restricted-lowdelay")
 
     def __init__(self, fs: int, channels: int, application: str = "audio"):
-        if fs not in (8000, 12000, 16000, 24000, 48000):
+        if fs not in (8000, 12000, 16000, 24000, 48000, 96000):
             raise ValueError("bad sample rate")
         if channels not in (1, 2):
             raise ValueError("bad channel count")
@@ -261,6 +261,11 @@ class OpusEncoder:
 
     def set_force_mode(self, mode):
         self.user_forced_mode = mode
+
+    def set_qext(self, enabled: int) -> None:
+        """Enable the quality extensions for CELT-only frames
+        (reference: OPUS_SET_QEXT src/opus_encoder.c:3221)."""
+        self.enable_qext = 1 if enabled else 0
 
     def set_energy_mask(self, mask) -> None:
         """Per-band surround masking from the multistream encoder
@@ -374,7 +379,7 @@ class OpusEncoder:
         # tonality analysis (reference: run_analysis call :1253-1259,
         # consumers :1279-1304; runs at complexity>=7 on >=16 kHz input)
         analysis_info = None
-        if self.complexity >= 7 and fs >= 16000 \
+        if self.complexity >= 7 and 16000 <= fs <= 48000 \
                 and self.application != "restricted-lowdelay" \
                 and not silence:
             from .analysis import TonalityAnalysisState, run_analysis
@@ -849,6 +854,8 @@ class OpusEncoder:
                 celt.disable_pf = 1   # CELT_SET_PREDICTION(0)
                 celt.force_intra = 1
 
+            celt.enable_qext = 1 if (getattr(self, 'enable_qext', 0)
+                                     and mode == MODE_CELT_ONLY) else 0
             if ec_tell(enc) <= 8 * nb_compr_bytes:
                 ret_celt = celt.encode_with_ec(
                     pcm_buf[:frame_size * channels], frame_size,
@@ -861,6 +868,7 @@ class OpusEncoder:
             self.rangeFinal = celt.rng
             celt.disable_pf = 0
             celt.force_intra = 0
+            celt.enable_qext = 0
         else:
             self.rangeFinal = enc.rng
 
@@ -923,6 +931,23 @@ class OpusEncoder:
                 pass
             payload = bytes(enc.buf[:ret])
         packet = bytes([toc]) + payload + red_data
+
+        if mode == MODE_CELT_ONLY and celt.qext_payload:
+            # attach the quality extension (ID 124) through the standard
+            # padding-extension mechanism (reference: celt packaging
+            # celt_encoder.c:2565; decoder lookup opus_decoder.c:849)
+            from ..bitstream.repacketizer import Repacketizer
+            from ..bitstream.extensions import ExtensionData
+            ext = ExtensionData(id=124, frame=0,
+                                data=celt.qext_payload[1:])
+            rp = Repacketizer()
+            if rp.cat(packet) == 0:
+                out = rp.out_range(0, rp.nb_frames,
+                                   max(max_data_bytes, len(packet)
+                                       + len(celt.qext_payload) + 8),
+                                   pad=False, extensions=[ext])
+                if isinstance(out, bytes):
+                    packet = out
 
         if self.dred is not None and self.dred_duration > 0:
             with_dred = self._attach_dred(packet, max_data_bytes)

@@ -258,3 +258,87 @@ def test_qext_encode_reference_decode_parity():
         assert n == 1920
         ref = np.asarray(buf[:], np.int64)
         assert np.abs(ours - ref).max() <= 1, f"frame {i}"
+
+
+@needs_qext_demo
+def test_opus_api_96k_qext_roundtrip(tmp_path):
+    """The standard Opus API at 96 kHz: our OpusEncoder(96000) with QEXT
+    produces packets the reference opus_demo decodes range-exact, our
+    decoder matches, and ultrasonic content survives (reference:
+    opus_encoder_init Fs==96000 under ENABLE_QEXT, OPUS_SET_QEXT)."""
+    from opus_tpu.models.opus_encoder import OpusEncoder
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    fs = 96000
+    rng = np.random.default_rng(6)
+    t = np.arange(fs) / fs
+    sig = (0.35 * np.sin(2 * np.pi * 440 * t)
+           + 0.15 * np.sin(2 * np.pi * 30000 * t)
+           + 0.03 * rng.standard_normal(fs))
+    enc = OpusEncoder(fs, 1, "restricted-lowdelay")
+    enc.set_bitrate(256000)
+    enc.set_qext(1)
+    dec = OpusDecoder(fs, 1)
+    fsz = fs // 50
+    blob = bytearray()
+    outs = []
+    for i in range(25):
+        p = enc.encode(sig[i * fsz:(i + 1) * fsz], fsz)
+        blob += struct.pack('>II', len(p), enc.rangeFinal) + p
+        outs.append(float2int16(dec.decode(p, fsz)))
+    bit = tmp_path / "o.bit"
+    refp = tmp_path / "r.pcm"
+    bit.write_bytes(bytes(blob))
+    subprocess.run([QEXT_DEMO, "-d", "96000", "1", str(bit), str(refp)],
+                   check=True, capture_output=True)
+    ref = np.fromfile(refp, np.int16).astype(np.int64)
+    ours = np.concatenate(outs).astype(np.int64)
+    n = min(len(ours), len(ref))
+    assert np.abs(ours[:n] - ref[:n]).max() <= 1
+    spec = np.abs(np.fft.rfft(ours[fsz * 3:n] / 32768.0))
+    freqs = np.fft.rfftfreq(n - fsz * 3, 1 / fs)
+    rs = np.abs(np.fft.rfft(sig[fsz * 3:n]))
+    hf = float(np.sum(spec[freqs > 24000] ** 2)) \
+        / float(np.sum(rs[freqs > 24000] ** 2))
+    assert 0.8 < hf < 1.2
+
+
+@needs_qext_demo
+def test_opus_api_48k_qext(tmp_path):
+    """QEXT through the standard API at 48 kHz: extension ID 124 rides
+    the padding and the reference decoder consumes it."""
+    from opus_tpu.models.opus_encoder import OpusEncoder
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    from opus_tpu.bitstream import packet as pkt2
+    from opus_tpu.bitstream.extensions import (ExtensionIterator,
+                                               ExtensionData)
+    fs = 48000
+    rng = np.random.default_rng(2)
+    t = np.arange(fs) / fs
+    sig = (0.35 * np.sin(2 * np.pi * 440 * t)
+           + 0.12 * np.sin(2 * np.pi * 21000 * t)
+           + 0.04 * rng.standard_normal(fs))
+    enc = OpusEncoder(fs, 1, "audio")
+    enc.set_bitrate(192000)
+    enc.set_qext(1)
+    dec = OpusDecoder(fs, 1)
+    fsz = fs // 50
+    blob = bytearray()
+    outs = []
+    packets = []
+    for i in range(25):
+        p = enc.encode(sig[i * fsz:(i + 1) * fsz], fsz)
+        packets.append(p)
+        blob += struct.pack('>II', len(p), enc.rangeFinal) + p
+        outs.append(float2int16(dec.decode(p, fsz)))
+    parsed = pkt2.packet_parse(packets[5])
+    it = ExtensionIterator(parsed.padding, parsed.count)
+    assert isinstance(it.find(124), ExtensionData)
+    bit = tmp_path / "o.bit"
+    refp = tmp_path / "r.pcm"
+    bit.write_bytes(bytes(blob))
+    subprocess.run([QEXT_DEMO, "-d", "48000", "1", str(bit), str(refp)],
+                   check=True, capture_output=True)
+    ref = np.fromfile(refp, np.int16).astype(np.int64)
+    ours = np.concatenate(outs).astype(np.int64)
+    n = min(len(ours), len(ref))
+    assert np.abs(ours[:n] - ref[:n]).max() <= 1
