@@ -227,6 +227,20 @@ def comb_filter_sep(y, ybase, x, xbase, t0, t1, n, g0, g1, tapset0, tapset1,
         if y is not x or ybase != xbase:
             y[ybase:ybase + n] = x[xbase:xbase + n]
         return
+    if overlap == 240:
+        # 96 kHz QEXT: filter the even/odd polyphase streams at the
+        # coded 48 kHz-scale period; needs 2*COMBFILTER_MAXPERIOD of
+        # history below xbase (reference: comb_filter_qext celt.c:198)
+        n2 = n // 2
+        for sph in range(2):
+            xseg = x[xbase - 2 * COMBFILTER_MAXPERIOD + sph:xbase + n:2]
+            yseg = np.empty(n2)
+            comb_filter_sep(yseg, 0, xseg, COMBFILTER_MAXPERIOD, t0, t1,
+                            n2, g0, g1, tapset0, tapset1,
+                            window[sph::2][:120] if window is not None
+                            else None, overlap // 2)
+            y[ybase + sph:ybase + n:2] = yseg
+        return
     t0 = max(t0, COMBFILTER_MINPERIOD)
     t1 = max(t1, COMBFILTER_MINPERIOD)
     g00 = g0 * COMB_GAINS[tapset0][0]
@@ -651,7 +665,9 @@ class CeltEncoder:
         nb = self.mode.nbEBands
         ov = self.mode.overlap
         self.in_mem = np.zeros((cc, ov))
-        self.prefilter_mem = np.zeros((cc, COMBFILTER_MAXPERIOD))
+        qscale = 2 if (self.mode.Fs == 96000
+                       and self.mode.shortMdctSize in (240, 180)) else 1
+        self.prefilter_mem = np.zeros((cc, qscale * COMBFILTER_MAXPERIOD))
         self.oldBandE = np.zeros(cc * nb)
         self.oldLogE = np.full(cc * nb, -28.0)
         self.oldLogE2 = np.full(cc * nb, -28.0)
@@ -784,8 +800,7 @@ class CeltEncoder:
             celt_preemphasis(pcm[c::CC], inp[c, overlap:], N, CC,
                              self.upsample, mode.preemph,
                              self.preemph_memE[c], need_clip)
-            inp[c, :overlap] = self.prefilter_mem[c,
-                                                  COMBFILTER_MAXPERIOD - overlap:]
+            inp[c, :overlap] = self.prefilter_mem[c, -overlap:]
 
         tone_freq, toneishness = tone_detect(inp, CC, N + overlap, mode.Fs)
         is_transient = 0
@@ -1375,23 +1390,28 @@ class CeltEncoder:
         """(reference: run_prefilter celt_encoder.c:1415)"""
         mode = self.mode
         overlap = mode.overlap
-        max_period = COMBFILTER_MAXPERIOD
-        min_period = COMBFILTER_MINPERIOD
+        qscale = 2 if (mode.Fs == 96000
+                       and mode.shortMdctSize in (240, 180)) else 1
+        max_period = qscale * COMBFILTER_MAXPERIOD
+        min_period = qscale * COMBFILTER_MINPERIOD
         pre = np.zeros((cc, n + max_period))
         for c in range(cc):
             pre[c, :max_period] = self.prefilter_mem[c]
             pre[c, max_period:] = inp[c, overlap:overlap + n]
 
         if enabled and toneishness > .99:
+            # tone frequencies are judged at the 48 kHz-equivalent scale
+            # and the resulting period is already at the coded scale
+            # (reference: celt_encoder.c:1444-1453 QEXT_SCALE(tone_freq))
             multiple = 1
             tf = tone_freq
-            if tf >= 3.1416:
+            if qscale * tf >= 3.1416:
                 tf = 3.141593 - tf
-            while tf >= multiple * 0.39:
+            while qscale * tf >= multiple * 0.39:
                 multiple += 1
-            if tf > 0.006148:
+            if qscale * tf > 0.006148:
                 pitch_index = min(int(math.floor(.5 + 2 * math.pi * multiple
-                                                 / tf)),
+                                                 / (qscale * tf))),
                                   COMBFILTER_MAXPERIOD - 2)
             else:
                 pitch_index = COMBFILTER_MINPERIOD
@@ -1405,8 +1425,11 @@ class CeltEncoder:
             gain1, pitch_index = remove_doubling(
                 x_lp, max_period, min_period, n, pitch_index,
                 self.prefilter_period, self.prefilter_gain)
-            if pitch_index > max_period - 2:
-                pitch_index = max_period - 2
+            if pitch_index > max_period - 2 * qscale:
+                pitch_index = max_period - 2 * qscale
+            # the pitch is coded (and the comb applied) at the 48 kHz
+            # scale (reference: celt_encoder.c:1476-1479)
+            pitch_index //= qscale
             gain1 = .7 * gain1
             if self.loss_rate > 2:
                 gain1 = .5 * gain1

@@ -1,5 +1,6 @@
 """opus_demo-compatible CLI (reference: src/opus_demo.c).
 
+Encode:  python -m opus_tpu.tools.opus_demo -e <app> <rate> <ch> <bps> [-qext] in.pcm out.bit
 Decode:  python -m opus_tpu.tools.opus_demo -d <rate> <channels> in.bit out.pcm
 Compare: python -m opus_tpu.tools.opus_demo compare [-s] [-r rate] ref.sw test.sw
 
@@ -56,13 +57,15 @@ def decode(rate: int, channels: int, bit_path: str, pcm_path: str,
 
 def encode(application: str, rate: int, channels: int, bitrate: int,
            pcm_path: str, bit_path: str, frame_ms: float = 20.0,
-           cbr: bool = False, complexity: int = 9) -> int:
+           cbr: bool = False, complexity: int = 9, qext: bool = False) -> int:
     from ..models.opus_encoder import OpusEncoder
 
     enc = OpusEncoder(rate, channels, application)
     enc.set_bitrate(bitrate)
     enc.set_vbr(not cbr)
     enc.complexity = complexity
+    if qext:
+        enc.set_qext(1)
     pcm = np.fromfile(pcm_path, dtype=np.int16).astype(np.float64) / 32768.0
     frame = int(rate * frame_ms / 1000)
     n = len(pcm) // channels
@@ -113,11 +116,13 @@ def main(argv=None) -> int:
         p.add_argument("-framesize", type=float, default=20.0)
         p.add_argument("-cbr", action="store_true")
         p.add_argument("-complexity", type=int, default=9)
+        p.add_argument("-qext", action="store_true")
         p.add_argument("input")
         p.add_argument("output")
         a = p.parse_args(argv[1:])
         return encode(a.application, a.rate, a.channels, a.bitrate,
-                      a.input, a.output, a.framesize, a.cbr, a.complexity)
+                      a.input, a.output, a.framesize, a.cbr, a.complexity,
+                      a.qext)
     p = argparse.ArgumentParser(prog="opus_demo")
     p.add_argument("-d", dest="decode", action="store_true", required=True)
     p.add_argument("rate", type=int)
