@@ -24,8 +24,17 @@ from .tables import (E_PROB_MODEL, SMALL_ENERGY_ICDF, PRED_COEF, BETA_COEF,
                      SPREAD_NORMAL, TF_SELECT_TABLE, COMB_GAINS,
                      COMBFILTER_MAXPERIOD, COMBFILTER_MINPERIOD)
 from ..ops.mdct import _backward_basis, _window
+from .pitch import (pitch_downsample, pitch_search, _celt_lpc)
 
 DECODE_BUFFER_SIZE = 2048
+MAX_PERIOD = 1024
+CELT_LPC_ORDER = 24
+PLC_PITCH_LAG_MAX = 720
+PLC_PITCH_LAG_MIN = 100
+# frame types (reference: celt_decoder.c FRAME_NORMAL etc.)
+FRAME_NORMAL = 0
+FRAME_PLC_PERIODIC = 1
+FRAME_PLC_NOISE = 2
 VERY_SMALL = 1e-30
 CELT_SIG_SCALE = 32768.0
 
@@ -116,6 +125,39 @@ def unquant_energy_finalise(m: CeltMode, start, end, old_e_bands, fine_quant,
                     old_e_bands[ch * m.nbEBands + i] += offset
                 bits_left -= 1
             i += 1
+
+
+def _windowed_autocorr(x, window, overlap, lag, n):
+    """(reference: _celt_autocorr celt/celt_lpc.c:284, float)"""
+    xx = np.array(x[:n], dtype=np.float64)
+    if overlap:
+        xx[:overlap] *= window[:overlap]
+        xx[n - overlap:] *= window[:overlap][::-1]
+    return np.array([float(np.dot(xx[:n - k], xx[k:n]))
+                     for k in range(lag + 1)])
+
+
+def _celt_fir(x, hist, num, n, ord_):
+    """y[i] = x[i] + sum_j num[j]*x[i-1-j]; hist = x[-ord..-1] oldest
+    first (reference: celt_fir celt/celt_lpc.c:92, float)."""
+    full = np.concatenate([hist, x[:n]])
+    y = np.array(x[:n], dtype=np.float64)
+    for j in range(ord_):
+        y += num[j] * full[ord_ - 1 - j:ord_ - 1 - j + n]
+    return y
+
+
+def _celt_iir(x, den, n, ord_, mem):
+    """y[i] = x[i] - sum_j den[j]*y[i-1-j]; mem[j] = y[-1-j]
+    (reference: celt_iir celt/celt_lpc.c:145, float)."""
+    y = np.empty(n + ord_)
+    y[:ord_] = np.asarray(mem)[::-1]   # y[ord_-1-j] = y_out[-1-j]
+    for i in range(n):
+        acc = x[i]
+        for j in range(ord_):
+            acc -= den[j] * y[ord_ + i - 1 - j]
+        y[ord_ + i] = acc
+    return y[ord_:]
 
 
 def comb_filter(buf, base, t0, t1, n, g0, g1, tapset0, tapset1,
@@ -209,6 +251,10 @@ class CeltDecoder:
     postfilter_tapset: int = 0
     postfilter_tapset_old: int = 0
     prefilter_and_fold: int = 0
+    plc_duration: int = 0
+    last_frame_type: int = FRAME_NORMAL
+    last_pitch_index: int = 0
+    plc_lpc: np.ndarray = None      # [CC, CELT_LPC_ORDER]
     qext_scale: int = 1     # 2 for the 96 kHz QEXT modes: the decode
                             # buffer and PLC periods double (reference:
                             # celt_decoder.c:267-269, QEXT_SCALE celt.h:267)
@@ -250,6 +296,10 @@ class CeltDecoder:
         self.postfilter_gain = self.postfilter_gain_old = 0.0
         self.postfilter_tapset = self.postfilter_tapset_old = 0
         self.prefilter_and_fold = 0
+        self.plc_duration = 0
+        self.last_frame_type = FRAME_NORMAL
+        self.last_pitch_index = 0
+        self.plc_lpc = np.zeros((self.channels, CELT_LPC_ORDER))
 
     # ------------------------------------------------------------------
     def decode_with_ec(self, data: bytes | None, pcm_out: np.ndarray,
@@ -506,6 +556,9 @@ class CeltDecoder:
         if silence:
             oldBandE[:2 * nbEBands] = -28.0
 
+        if self.prefilter_and_fold:
+            self._prefilter_and_fold(N)
+
         eff_end = min(end, mode.effEBands)
         self._synthesis(X, oldBandE, start, eff_end, C, CC, is_transient,
                         lm, silence, qext_mode=qext_mode, qext_end=qext_end)
@@ -566,6 +619,8 @@ class CeltDecoder:
 
         self._deemphasis(pcm_out, out_syn_off, N, CC, accum)
         self.loss_duration = 0
+        self.plc_duration = 0
+        self.last_frame_type = FRAME_NORMAL
         self.prefilter_and_fold = 0
         if ec_tell(dec) > 8 * len_bytes:
             return -3  # OPUS_INTERNAL_ERROR
@@ -668,16 +723,198 @@ class CeltDecoder:
             else:
                 pcm_out[ch::CC][:Nd] = dec / CELT_SIG_SCALE
 
-    def _decode_lost(self, N, lm):
-        """Minimal PLC: fade previous signal (full pitch-based PLC is a
-        follow-up; reference: celt_decode_lost celt_decoder.c:679)."""
+    def _plc_pitch_search(self, C):
+        """(reference: celt_plc_pitch_search celt_decoder.c:555)"""
         dbuf = self.qext_scale * DECODE_BUFFER_SIZE
+        chans = [self.decode_mem[c][:dbuf] for c in range(C)]
+        lp = pitch_downsample(chans, DECODE_BUFFER_SIZE >> 1,
+                              factor=self.qext_scale * 2)
+        pitch_index = pitch_search(lp[PLC_PITCH_LAG_MAX >> 1:], lp,
+                                   DECODE_BUFFER_SIZE - PLC_PITCH_LAG_MAX,
+                                   PLC_PITCH_LAG_MAX - PLC_PITCH_LAG_MIN)
+        return self.qext_scale * (PLC_PITCH_LAG_MAX - pitch_index)
+
+    def _prefilter_and_fold(self, N):
+        """Apply the pre-filter (negated post-filter) to the concealed
+        MDCT overlap and simulate TDAC so PLC output blends with the
+        next frame (reference: prefilter_and_fold celt_decoder.c:580)."""
+        mode = self.mode
+        overlap = mode.overlap
+        dbuf = self.qext_scale * DECODE_BUFFER_SIZE
+        window = _window(overlap)
+        g0 = -self.postfilter_gain_old
+        g1 = -self.postfilter_gain
+        t1 = max(self.postfilter_period, COMBFILTER_MINPERIOD)
+        gains = COMB_GAINS[self.postfilter_tapset]
         for ch in range(self.channels):
             buf = self.decode_mem[ch]
-            buf[:dbuf - N + self.mode.overlap] = \
-                buf[N:dbuf + self.mode.overlap]
-            buf[dbuf - N:] *= 0.0
-        self.loss_duration = min(self.loss_duration + (1 << lm), 10000)
+            base = dbuf - N
+            if g0 == 0 and g1 == 0:
+                etmp = buf[base:base + overlap].copy()
+            else:
+                # constant comb (the reference passes overlap=0 here, so
+                # the filter runs plain even at 96 kHz; celt.c:238)
+                idx = np.arange(base, base + overlap)
+                etmp = (buf[idx]
+                        + g1 * gains[0] * buf[idx - t1]
+                        + g1 * gains[1] * (buf[idx - t1 + 1]
+                                           + buf[idx - t1 - 1])
+                        + g1 * gains[2] * (buf[idx - t1 + 2]
+                                           + buf[idx - t1 - 2]))
+            half = overlap // 2
+            buf[base:base + half] = (window[:half] * etmp[overlap - 1:
+                                                          half - 1:-1]
+                                     + window[overlap - 1:half - 1:-1]
+                                     * etmp[:half])
+
+    def _decode_lost(self, N, lm):
+        """Packet-loss concealment (reference: celt_decode_lost
+        celt_decoder.c:679): pitch-based waveform extrapolation in the
+        LPC excitation domain for the first ~40 ms of loss, then
+        noise-based comfort filling driven by the background energy."""
+        mode = self.mode
+        C = self.channels
+        overlap = mode.overlap
+        nbEBands = mode.nbEBands
+        eBands = mode.eBands
+        dbuf = self.qext_scale * DECODE_BUFFER_SIZE
+        max_period = self.qext_scale * MAX_PERIOD
+        loss_duration = self.loss_duration
+        start = self.start
+
+        curr = FRAME_PLC_PERIODIC
+        if self.plc_duration >= 40 or start != 0 or self.skip_plc:
+            curr = FRAME_PLC_NOISE
+
+        if curr == FRAME_PLC_NOISE:
+            end = self.end
+            eff_end = max(start, min(end, mode.effEBands))
+            for ch in range(C):
+                buf = self.decode_mem[ch]
+                buf[:dbuf - N + overlap] = buf[N:dbuf + overlap]
+            if self.prefilter_and_fold:
+                self._prefilter_and_fold(N)
+            decay = 1.5 if loss_duration == 0 else 0.5
+            for ch in range(C):
+                for i in range(start, end):
+                    self.oldEBands[ch * nbEBands + i] = max(
+                        self.backgroundLogE[ch * nbEBands + i],
+                        self.oldEBands[ch * nbEBands + i] - decay)
+            seed = self.rng
+            X = np.zeros(C * N)
+            for ch in range(C):
+                for i in range(start, eff_end):
+                    boffs = N * ch + ((eBands[i] << lm))
+                    blen = (eBands[i + 1] - eBands[i]) << lm
+                    for j in range(blen):
+                        seed = B.celt_lcg_rand(seed)
+                        signed = seed - 0x100000000 if seed & 0x80000000 \
+                            else seed
+                        X[boffs + j] = float(signed >> 20)
+                    B.renormalise_vector(X[boffs:], blen, 1.0)
+            self.rng = seed
+            self._synthesis(X, self.oldEBands, start, eff_end, C, C, 0,
+                            lm, 0)
+            # re-run the postfilter with the last parameters
+            out_off = dbuf - N
+            window = _window(overlap)
+            pp = max(self.postfilter_period, COMBFILTER_MINPERIOD)
+            ppo = max(self.postfilter_period_old, COMBFILTER_MINPERIOD)
+            self.postfilter_period = pp
+            self.postfilter_period_old = ppo
+            for ch in range(C):
+                buf = self.decode_mem[ch]
+                comb_filter(buf, out_off, ppo, pp, mode.shortMdctSize,
+                            self.postfilter_gain_old, self.postfilter_gain,
+                            self.postfilter_tapset_old,
+                            self.postfilter_tapset, window, overlap)
+                if lm != 0:
+                    comb_filter(buf, out_off + mode.shortMdctSize, pp, pp,
+                                N - mode.shortMdctSize,
+                                self.postfilter_gain, self.postfilter_gain,
+                                self.postfilter_tapset,
+                                self.postfilter_tapset, window, overlap)
+            self.postfilter_period_old = self.postfilter_period
+            self.postfilter_gain_old = self.postfilter_gain
+            self.postfilter_tapset_old = self.postfilter_tapset
+            self.prefilter_and_fold = 0
+            self.skip_plc = 1
+        else:
+            # pitch-based PLC
+            fade = 1.0
+            if self.last_frame_type != FRAME_PLC_PERIODIC:
+                self.last_pitch_index = pitch_index = \
+                    self._plc_pitch_search(C)
+            else:
+                pitch_index = self.last_pitch_index
+                fade = 0.8
+            exc_length = min(2 * pitch_index, max_period)
+            window = _window(overlap)
+            for ch in range(C):
+                buf = self.decode_mem[ch]
+                exc = np.array(
+                    buf[dbuf - max_period - CELT_LPC_ORDER:dbuf])
+                # exc[CELT_LPC_ORDER:] are the max_period signal samples
+                if self.last_frame_type != FRAME_PLC_PERIODIC:
+                    ac = _windowed_autocorr(exc[CELT_LPC_ORDER:], window,
+                                            overlap, CELT_LPC_ORDER,
+                                            max_period)
+                    ac[0] *= 1.0001
+                    for i in range(1, CELT_LPC_ORDER + 1):
+                        ac[i] -= ac[i] * (0.008 * 0.008) * i * i
+                    self.plc_lpc[ch] = _celt_lpc(ac, CELT_LPC_ORDER)
+                lpc = self.plc_lpc[ch]
+                # excitation for the last exc_length samples
+                off = max_period - exc_length
+                fir = _celt_fir(exc[CELT_LPC_ORDER + off:],
+                                exc[off:CELT_LPC_ORDER + off], lpc,
+                                exc_length, CELT_LPC_ORDER)
+                exc[CELT_LPC_ORDER + off:] = fir
+                ex = exc[CELT_LPC_ORDER:]
+                # decay estimate from two half-periods
+                dlen = exc_length >> 1
+                e1 = 1.0 + float(np.dot(ex[max_period - dlen:],
+                                        ex[max_period - dlen:]))
+                e2 = 1.0 + float(np.dot(
+                    ex[max_period - 2 * dlen:max_period - dlen],
+                    ex[max_period - 2 * dlen:max_period - dlen]))
+                e1 = min(e1, e2)
+                decay = math.sqrt(e1 / e2)
+                buf[:dbuf - N] = buf[N:dbuf]
+                # periodic extrapolation of the excitation
+                extrap_off = max_period - pitch_index
+                extrap_len = N + overlap
+                attenuation = fade * decay
+                s1 = 0.0
+                j = 0
+                for i in range(extrap_len):
+                    if j >= pitch_index:
+                        j -= pitch_index
+                        attenuation *= decay
+                    buf[dbuf - N + i] = attenuation * ex[extrap_off + j]
+                    tmp = buf[dbuf - max_period - N + extrap_off + j]
+                    s1 += tmp * tmp
+                    j += 1
+                lpc_mem = [buf[dbuf - N - 1 - i]
+                           for i in range(CELT_LPC_ORDER)]
+                buf[dbuf - N:dbuf - N + extrap_len] = _celt_iir(
+                    buf[dbuf - N:dbuf - N + extrap_len], lpc, extrap_len,
+                    CELT_LPC_ORDER, lpc_mem)
+                s2 = float(np.dot(buf[dbuf - N:dbuf - N + extrap_len],
+                                  buf[dbuf - N:dbuf - N + extrap_len]))
+                if not (s1 > 0.2 * s2):
+                    buf[dbuf - N:dbuf - N + extrap_len] = 0.0
+                elif s1 < s2:
+                    ratio = math.sqrt((s1 + 1) / (s2 + 1))
+                    for i in range(overlap):
+                        tmp_g = 1.0 - window[i] * (1.0 - ratio)
+                        buf[dbuf - N + i] *= tmp_g
+                    buf[dbuf - N + overlap:dbuf - N + extrap_len] *= ratio
+            self.prefilter_and_fold = 1
+
+        self.loss_duration = min(10000, loss_duration + (1 << lm))
+        self.plc_duration = min(10000, self.plc_duration + (1 << lm))
+        self.last_frame_type = curr
 
 
 def resampling_factor(rate: int) -> int:

@@ -50,12 +50,13 @@ def _fir5(x: np.ndarray, num: np.ndarray) -> None:
         x[i] = s
 
 
-def pitch_downsample(x_chans, length: int) -> np.ndarray:
-    """2x downsample + LPC flattening (reference: pitch.c:140).
+def pitch_downsample(x_chans, length: int, factor: int = 2) -> np.ndarray:
+    """factor-x downsample + LPC flattening (reference: pitch.c:140;
+    the QEXT build adds the factor argument so 96 kHz buffers land in
+    the common 48 kHz pitch domain).
     x_chans: list of per-channel signals indexed so x[factor*i +/- offset]
     valid for i < length."""
-    factor = 2
-    offset = 1
+    offset = factor // 2
     x_lp = np.zeros(length)
     x0 = x_chans[0]
     i = np.arange(1, length)

@@ -124,3 +124,64 @@ def test_plc_produces_output():
     out = dec.decode(None, 960)
     assert out.shape == (960,)
     assert np.all(np.isfinite(out))
+
+
+def test_plc_parity_with_losses(tmp_path):
+    """Pitch-based + noise PLC vs the reference decoder: streams with
+    isolated, paired, and 60 ms losses must conceal identically within
+    float rounding (reference: celt_decode_lost celt_decoder.c:679,
+    celt_plc_pitch_search :555, prefilter_and_fold :580)."""
+    import struct
+    import subprocess
+    import os
+    import numpy as np
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    from opus_tpu.utils.soft_clip import float2int16
+    demo = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".ref_build", "opus_demo")
+    if not os.path.exists(demo):
+        import pytest
+        pytest.skip("reference opus_demo not built")
+    rng = np.random.default_rng(77)
+    fs = 48000
+    t = np.arange(fs * 2) / fs
+    sig = (0.4 * np.sin(2 * np.pi * 220 * t)
+           * (1 + 0.2 * np.sin(2 * np.pi * 2 * t))
+           + 0.02 * rng.standard_normal(fs * 2))
+    inp = tmp_path / "in.pcm"
+    bit = tmp_path / "o.bit"
+    float2int16(sig).astype('<i2').tofile(inp)
+    subprocess.run([demo, "-e", "audio", "48000", "1", "64000",
+                    str(inp), str(bit)], check=True, capture_output=True)
+    data = bit.read_bytes()
+    lost = {30, 31, 55, 80, 81, 82}
+    out = bytearray()
+    off = 0
+    k = 0
+    while off < len(data):
+        ln, rg = struct.unpack('>II', data[off:off + 8])
+        off += 8
+        pkt = data[off:off + ln]
+        off += ln
+        out += struct.pack('>II', 0, 0) if k in lost \
+            else struct.pack('>II', ln, rg) + pkt
+        k += 1
+    loss_bit = tmp_path / "loss.bit"
+    refp = tmp_path / "ref.pcm"
+    loss_bit.write_bytes(bytes(out))
+    subprocess.run([demo, "-d", "48000", "1", str(loss_bit), str(refp)],
+                   check=True, capture_output=True)
+    dec = OpusDecoder(48000, 1)
+    outs = []
+    off = 0
+    data = loss_bit.read_bytes()
+    while off < len(data):
+        ln, rg = struct.unpack('>II', data[off:off + 8])
+        off += 8
+        pkt = data[off:off + ln]
+        off += ln
+        outs.append(float2int16(dec.decode(pkt if ln else None, 960)))
+    ours = np.concatenate(outs).astype(np.int64)
+    ref = np.fromfile(refp, np.int16).astype(np.int64)
+    n = min(len(ours), len(ref))
+    assert np.abs(ours[:n] - ref[:n]).max() <= 4
