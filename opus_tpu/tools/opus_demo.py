@@ -98,8 +98,36 @@ def run_compare(args) -> int:
     return 0
 
 
+def run_qext_compare(args) -> int:
+    from ..utils.compare import qext_compare
+    ref = np.fromfile(args.ref, dtype=np.int16).astype(np.float64)
+    test = np.fromfile(args.test, dtype=np.int16).astype(np.float64)
+    err4, err16, rms = qext_compare(ref, test, 2 if args.stereo else 1,
+                                    args.rate,
+                                    48000 if args.base48k else 96000)
+    print(f"err4 = {err4:f}, err16 = {err16:f}, rms = {rms:f}",
+          file=sys.stderr)
+    if args.thresholds:
+        t4, t16, trms = args.thresholds
+        if err4 <= t4 and err16 <= t16 and (rms < 0 or rms <= trms):
+            print("Comparison PASSED", file=sys.stderr)
+            return 0
+        print("*** Comparison FAILED ***", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "qext-compare":
+        p = argparse.ArgumentParser(prog="opus_demo qext-compare")
+        p.add_argument("-s", dest="stereo", action="store_true")
+        p.add_argument("-48k", dest="base48k", action="store_true")
+        p.add_argument("-r", dest="rate", type=int, default=96000)
+        p.add_argument("-thresholds", nargs=3, type=float, default=None)
+        p.add_argument("ref")
+        p.add_argument("test")
+        return run_qext_compare(p.parse_args(argv[1:]))
     if argv and argv[0] == "compare":
         p = argparse.ArgumentParser(prog="opus_demo compare")
         p.add_argument("-s", dest="stereo", action="store_true")

@@ -342,3 +342,63 @@ def test_opus_api_48k_qext(tmp_path):
     ours = np.concatenate(outs).astype(np.int64)
     n = min(len(ours), len(ref))
     assert np.abs(ours[:n] - ref[:n]).max() <= 1
+
+
+QEXT_CMP = os.path.join(REPO, ".ref_build_qext", "qext_compare")
+
+
+@pytest.mark.skipif(not os.path.exists(QEXT_CMP),
+                    reason="reference qext_compare not built")
+def test_qext_compare_matches_reference(tmp_path):
+    """Our qext_compare port must agree with the reference tool
+    (src/qext_compare.c) on err4/err16 to float precision."""
+    import re
+    from opus_tpu.utils.compare import qext_compare
+    rng = np.random.default_rng(12)
+    t = np.arange(96000) / 96000.0
+    ref = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 28000 * t))
+    test = ref + 0.003 * rng.standard_normal(len(ref))
+    ref16 = float2int16(ref)
+    test16 = float2int16(test)
+    rf = tmp_path / "r.sw"
+    tf = tmp_path / "t.sw"
+    np.stack([ref16, ref16], 1).reshape(-1).astype('<i2').tofile(rf)
+    test16.astype('<i2').tofile(tf)
+    r = subprocess.run([QEXT_CMP, str(rf), str(tf)], capture_output=True,
+                       text=True)
+    m = re.search(r"err4 = ([\d.]+), err16 = ([\d.]+)", r.stderr)
+    ref_e4, ref_e16 = float(m.group(1)), float(m.group(2))
+    e4, e16, _ = qext_compare(
+        np.stack([ref16, ref16], 1).reshape(-1).astype(np.float64),
+        test16.astype(np.float64), 1, 96000)
+    assert abs(e4 - ref_e4) < 1e-3 * max(1.0, ref_e4)
+    assert abs(e16 - ref_e16) < 1e-3 * max(1.0, ref_e16)
+
+
+def test_qext_compare_gate_on_codec_output():
+    """The 96 kHz codec roundtrip passes a sane qext_compare gate while
+    a broken (HF-stripped) output fails it."""
+    from opus_tpu.utils.compare import qext_compare
+    mode = _mode96_mono()
+    enc = OpusCustomEncoder(mode, 1)
+    enc.set_bitrate(256000)
+    enc.set_qext(1)
+    dec = OpusCustomDecoder(mode, 1)
+    rng = np.random.default_rng(3)
+    t = np.arange(1920 * 10) / 96000.0
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)
+           + 0.1 * np.sin(2 * np.pi * 30000 * t)
+           + 0.01 * rng.standard_normal(len(t)))
+    out = np.concatenate([
+        dec.decode(enc.encode(sig[i * 1920:(i + 1) * 1920], 1920,
+                              max_bytes=700), 1920) for i in range(10)])
+    ref16 = float2int16(sig)
+    st = np.stack([ref16, ref16], 1).reshape(-1).astype(np.float64)
+    e4, e16, _ = qext_compare(st, float2int16(out).astype(np.float64),
+                              1, 96000)
+    assert e4 < 2.0 and e16 < 4.0
+    # silence scores clearly worse on the err4 axis (err16's higher
+    # noise floor is deliberately insensitive to missing quiet content)
+    e4b, _, _ = qext_compare(st, np.zeros_like(out), 1, 96000)
+    assert e4b > 1.5 * e4

@@ -118,3 +118,9 @@ if [ ! -f "$REPO/.ref_build_qext/libopus.so" ]; then
     cmake --build "$REPO/.ref_build_qext" -j"$(nproc)" \
         --target opus opus_demo > /dev/null
 fi
+
+# QEXT conformance comparator
+if [ ! -f "$REPO/.ref_build_qext/qext_compare" ]; then
+    gcc -O2 -o "$REPO/.ref_build_qext/qext_compare" \
+        "$REF/src/qext_compare.c" -I"$REF/celt" -lm
+fi
