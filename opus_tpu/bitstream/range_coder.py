@@ -400,3 +400,22 @@ class RangeDecoder:
 
     def tell_frac(self) -> int:
         return ec_tell_frac(self)
+
+
+def make_range_decoder(data, storage: int | None = None):
+    """Factory for the per-packet range decoder.
+
+    A state-identical native C kernel exists (opus_tpu/native/entropy.c,
+    bound in bitstream.native_rc) but per-symbol ctypes dispatch costs
+    more than it saves (measured: ~1.3x slower end-to-end than the
+    pure-Python decoder), so it is opt-in via OPUS_TPU_NATIVE_RC=1 until
+    the C side owns whole decode loops instead of single symbols."""
+    import os
+    if os.environ.get("OPUS_TPU_NATIVE_RC") == "1":
+        try:
+            from .native_rc import NativeRangeDecoder, _LIB
+            if _LIB is not None:
+                return NativeRangeDecoder(data, storage)
+        except Exception:
+            pass
+    return RangeDecoder(data, storage)

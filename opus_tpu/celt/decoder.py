@@ -13,7 +13,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..bitstream.range_coder import RangeDecoder, ec_tell, ec_tell_frac
+from ..bitstream.range_coder import (RangeDecoder, ec_tell,
+                                     ec_tell_frac, make_range_decoder)
 from ..bitstream import laplace
 from . import bands as B
 from . import alloc as A
@@ -340,7 +341,7 @@ class CeltDecoder:
 
         length = dec.storage if dec is not None else len(data)
         if dec is None:
-            dec = RangeDecoder(data)
+            dec = make_range_decoder(data)
         len_bytes = dec.storage
 
         if self.loss_duration == 0:
@@ -473,7 +474,7 @@ class CeltDecoder:
         extra_pulses = [0] * (nbEBands + NB_QEXT_BANDS)
         extra_quant = [0] * (nbEBands + NB_QEXT_BANDS)
         if qext_bytes > 0:
-            ext_dec = RangeDecoder(qext_payload)
+            ext_dec = make_range_decoder(qext_payload)
             if end == nbEBands and (
                     (mode.Fs == 48000 and mode.shortMdctSize in (120, 90))
                     or (mode.Fs == 96000

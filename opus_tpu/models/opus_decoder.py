@@ -11,7 +11,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..bitstream import packet as pkt
-from ..bitstream.range_coder import RangeDecoder, ec_tell
+from ..bitstream.range_coder import (RangeDecoder, ec_tell,
+                                      make_range_decoder)
 
 QEXT_EXTENSION_ID = 124   # (reference: celt/celt.h QEXT_EXTENSION_ID)
 from ..celt.decoder import CeltDecoder, resampling_factor
@@ -217,7 +218,7 @@ class OpusDecoder:
             self.rangeFinal = 0
             return
         mode = self.mode
-        dec = RangeDecoder(frame)
+        dec = make_range_decoder(frame)
         length = len(frame)
         audiosize = frame_size
 
@@ -310,7 +311,7 @@ class OpusDecoder:
             c.start = 0
             red_pcm = np.zeros(f5 * ch)
             c.decode_with_ec(red_data, red_pcm, f5,
-                             RangeDecoder(red_data))
+                             make_range_decoder(red_data))
             redundant_rng = c.rng
 
         c.start = start_band
@@ -342,7 +343,7 @@ class OpusDecoder:
             c.reset()
             c.start = 0
             red_pcm = np.zeros(f5 * ch)
-            c.decode_with_ec(red_data, red_pcm, f5, RangeDecoder(red_data))
+            c.decode_with_ec(red_data, red_pcm, f5, make_range_decoder(red_data))
             redundant_rng = c.rng
             base = (audiosize - f2_5) * ch
             self._smooth_fade(pcm[base:].copy(), red_pcm[f2_5 * ch:],
