@@ -402,3 +402,39 @@ def test_qext_compare_gate_on_codec_output():
     # noise floor is deliberately insensitive to missing quiet content)
     e4b, _, _ = qext_compare(st, np.zeros_like(out), 1, 96000)
     assert e4b > 1.5 * e4
+
+
+def test_qext_and_dred_extensions_coexist():
+    """Both padding extensions (QEXT 124 and DRED 126) can ride one
+    packet and the decoder still applies the QEXT payload (reference:
+    the extension iterator model of src/extensions.c)."""
+    from opus_tpu.bitstream.repacketizer import Repacketizer
+    from opus_tpu.bitstream.extensions import (ExtensionData,
+                                               ExtensionIterator)
+    from opus_tpu.bitstream import packet as pkt2
+    from opus_tpu.models.opus_encoder import OpusEncoder
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    fs = 48000
+    enc = OpusEncoder(fs, 1, "audio")
+    enc.set_bitrate(192000)
+    enc.set_qext(1)
+    t = np.arange(960) / fs
+    p = enc.encode(0.3 * np.sin(2 * np.pi * 440 * t), 960)
+    parsed = pkt2.packet_parse(p)
+    it = ExtensionIterator(parsed.padding, parsed.count)
+    e124 = it.find(124)
+    assert isinstance(e124, ExtensionData)
+    rp = Repacketizer()
+    assert rp.cat(p) == 0
+    both = rp.out_range(
+        0, rp.nb_frames, 4000, pad=False,
+        extensions=[ExtensionData(id=124, frame=0, data=bytes(e124.data)),
+                    ExtensionData(id=126, frame=0,
+                                  data=b'D\x0c' + bytes(50))])
+    assert isinstance(both, bytes)
+    dec = OpusDecoder(fs, 1)
+    ref_dec = OpusDecoder(fs, 1)
+    out_both = dec.decode(both, 960)
+    out_orig = ref_dec.decode(p, 960)
+    assert np.isfinite(out_both).all()
+    np.testing.assert_array_equal(out_both, out_orig)
