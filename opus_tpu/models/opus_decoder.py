@@ -17,7 +17,8 @@ from ..bitstream.range_coder import (RangeDecoder, ec_tell,
 QEXT_EXTENSION_ID = 124   # (reference: celt/celt.h QEXT_EXTENSION_ID)
 from ..celt.decoder import CeltDecoder, resampling_factor
 from ..silk.api import SilkDecoder
-from ..silk.tables import FLAG_DECODE_NORMAL, FLAG_PACKET_LOST
+from ..silk.tables import (FLAG_DECODE_NORMAL, FLAG_PACKET_LOST,
+                           FLAG_DECODE_LBRR)
 from ..utils.soft_clip import pcm_soft_clip, float2int16
 
 
@@ -122,10 +123,42 @@ class OpusDecoder:
         parsed = pkt.packet_parse(data)
         if isinstance(parsed, int):
             raise ValueError(f"invalid packet ({parsed})")
-        self.mode = pkt.packet_get_mode(data)
-        self.bandwidth = pkt.packet_get_bandwidth(data)
-        self.frame_size = pkt.packet_get_samples_per_frame(data, self.fs)
-        self.stream_channels = pkt.packet_get_nb_channels(data)
+        packet_mode = pkt.packet_get_mode(data)
+        packet_bandwidth = pkt.packet_get_bandwidth(data)
+        packet_frame_size = pkt.packet_get_samples_per_frame(data, self.fs)
+        packet_stream_channels = pkt.packet_get_nb_channels(data)
+        if decode_fec:
+            # In-band FEC: conceal all but the last packet_frame_size
+            # samples, then decode the LBRR data of this (next) packet
+            # in their place (reference: opus_decode_native
+            # src/opus_decoder.c:800-834)
+            if frame_size is None:
+                frame_size = packet_frame_size
+            if frame_size % (self.fs // 400):
+                raise ValueError("FEC/PLC frame size must be a multiple "
+                                 "of 2.5 ms")
+            if (frame_size < packet_frame_size
+                    or packet_mode == pkt.Mode.CELT_ONLY
+                    or self.mode == pkt.Mode.CELT_ONLY):
+                return self._decode_frames(None, [], frame_size)
+            out = []
+            if frame_size != packet_frame_size:
+                out.append(self._decode_frames(
+                    None, [], frame_size - packet_frame_size))
+            self.mode = packet_mode
+            self.bandwidth = packet_bandwidth
+            self.frame_size = packet_frame_size
+            self.stream_channels = packet_stream_channels
+            pcm = np.zeros(packet_frame_size * self.channels)
+            self._decode_frame(parsed.frames[0], pcm, packet_frame_size,
+                               decode_fec=True)
+            out.append(pcm)
+            self.last_packet_duration = frame_size
+            return np.concatenate(out)
+        self.mode = packet_mode
+        self.bandwidth = packet_bandwidth
+        self.frame_size = packet_frame_size
+        self.stream_channels = packet_stream_channels
         nb_samples = self.frame_size * parsed.count
         if frame_size is None:
             frame_size = nb_samples
@@ -193,8 +226,11 @@ class OpusDecoder:
                     + (1 - g) * in1[i * ch + c]
 
     def _decode_frame(self, frame: bytes | None, pcm: np.ndarray,
-                      frame_size: int, qext_payload: bytes | None = None):
-        """(reference: opus_decode_frame src/opus_decoder.c:271)"""
+                      frame_size: int, qext_payload: bytes | None = None,
+                      decode_fec: bool = False):
+        """(reference: opus_decode_frame src/opus_decoder.c:271;
+        decode_fec=True decodes the frame's LBRR data instead of its
+        primary SILK payload and conceals the CELT part)"""
         c = self.celt
         f20 = self.fs // 50
         f10 = f20 >> 1
@@ -255,7 +291,9 @@ class OpusDecoder:
                     n_channels_internal=self.stream_channels,
                     api_sample_rate=self.fs, internal_sample_rate=isr,
                     payload_size_ms=payload_ms,
-                    lost_flag=FLAG_DECODE_NORMAL, new_packet_flag=first)
+                    lost_flag=(FLAG_DECODE_LBRR if decode_fec
+                               else FLAG_DECODE_NORMAL),
+                    new_packet_flag=first)
                 first = False
                 n = len(out) // self.channels
                 pcm[decoded * self.channels:
@@ -266,7 +304,7 @@ class OpusDecoder:
         redundancy = 0
         redundancy_bytes = 0
         celt_to_silk = 0
-        if (mode != pkt.Mode.CELT_ONLY
+        if (not decode_fec and mode != pkt.Mode.CELT_ONLY
                 and ec_tell(dec) + 17 + 20 * (mode == pkt.Mode.HYBRID)
                 <= 8 * length):
             if mode == pkt.Mode.HYBRID:
@@ -321,7 +359,10 @@ class OpusDecoder:
             if mode != self.prev_mode and self.prev_mode > 0 \
                     and not self.prev_redundancy:
                 c.reset()
-            ret = c.decode_with_ec(frame, pcm, celt_frame_size, dec,
+            # in FEC mode the CELT half is concealed (reference :606)
+            ret = c.decode_with_ec(None if decode_fec else frame, pcm,
+                                   celt_frame_size,
+                                   None if decode_fec else dec,
                                    accum=(mode != pkt.Mode.CELT_ONLY),
                                    qext_payload=qext_payload)
             if ret < 0:

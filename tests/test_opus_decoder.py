@@ -1,0 +1,70 @@
+
+
+def test_inband_fec_decode_parity(tmp_path):
+    """decode_fec=True must decode the next packet's LBRR data bit-exact
+    vs the reference opus_decode(..., decode_fec=1)
+    (reference: opus_decode_native src/opus_decoder.c:800-834,
+    silk lost_flag=FLAG_DECODE_LBRR :469)."""
+    import ctypes
+    import os
+    import struct
+    import subprocess
+    import numpy as np
+    import pytest
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    from opus_tpu.utils.soft_clip import float2int16
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    demo = os.path.join(repo, ".ref_build", "opus_demo")
+    solib = os.path.join(repo, ".ref_build_qext", "libopus.so")
+    if not (os.path.exists(demo) and os.path.exists(solib)):
+        pytest.skip("reference builds missing")
+    rng = np.random.default_rng(15)
+    t = np.arange(48000 * 2) / 48000.0
+    sig = (0.3 * np.sin(2 * np.pi * 280 * t)
+           * (1 + 0.3 * np.sin(2 * np.pi * 2.5 * t))
+           + 0.02 * rng.standard_normal(len(t)))
+    inp = tmp_path / "in.pcm"
+    bit = tmp_path / "o.bit"
+    float2int16(sig).astype('<i2').tofile(inp)
+    subprocess.run([demo, "-e", "voip", "48000", "1", "32000",
+                    "-inbandfec", "-loss", "20", str(inp), str(bit)],
+                   check=True, capture_output=True)
+    data = bit.read_bytes()
+    pkts = []
+    off = 0
+    while off < len(data):
+        ln, rg = struct.unpack('>II', data[off:off + 8])
+        off += 8
+        pkts.append(data[off:off + ln])
+        off += ln
+    # only losses whose NEXT packet carries LBRR exercise true FEC
+    # (otherwise the decoder conceals; SILK classic PLC is not yet
+    # bit-matched -- see COMPONENTS.md gap 0).  LBRR flag = bit 6 of the
+    # first SILK payload byte for 20 ms mono packets.
+    lbrr = [len(p) > 1 and bool(p[1] & 0x40) for p in pkts]
+    lost = []
+    for i in range(5, len(pkts) - 1):
+        if lbrr[i + 1] and (not lost or i > lost[-1] + 4):
+            lost.append(i)
+        if len(lost) == 4:
+            break
+    assert len(lost) >= 2, "stream carries too little LBRR"
+    lib = ctypes.CDLL(solib)
+    lib.opus_decoder_create.restype = ctypes.c_void_p
+    err = ctypes.c_int()
+    rdec = lib.opus_decoder_create(48000, 1, ctypes.byref(err))
+    dec = OpusDecoder(48000, 1)
+    for i, p in enumerate(pkts):
+        buf = (ctypes.c_int16 * 960)()
+        if i in lost:   # lost: recover from the next packet's LBRR
+            n = lib.opus_decode(ctypes.c_void_p(rdec), pkts[i + 1],
+                                len(pkts[i + 1]), buf, 960, 1)
+            ours = float2int16(dec.decode(pkts[i + 1], 960,
+                                          decode_fec=True))
+            assert n == 960
+            ref = np.asarray(buf[:], np.int64)
+            assert np.abs(ours.astype(np.int64) - ref).max() <= 1,                 f"FEC frame {i}"
+        else:
+            n = lib.opus_decode(ctypes.c_void_p(rdec), p, len(p),
+                                buf, 960, 0)
+            float2int16(dec.decode(p, 960))
