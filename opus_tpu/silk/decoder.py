@@ -366,7 +366,9 @@ class ChannelState:
         self.plc_LTPCoef_Q14 = [0] * LTP_ORDER
         self.plc_prevLPC_Q12 = [0] * MAX_LPC_ORDER
         self.plc_last_frame_lost = 0
-        self.plc_rand_seed = 3176576
+        # zero like the reference's memset of silk_PLC_struct
+        # (init_decoder.c; 3176576 is only the CNG seed)
+        self.plc_rand_seed = 0
         self.plc_randScale_Q14 = 0
         self.plc_conc_energy = 0
         self.plc_conc_energy_shift = 0
@@ -736,8 +738,13 @@ class ChannelState:
             self.prevSignalType = self.indices.signalType
             self.first_frame_after_reset = 0
         else:
-            # packet loss concealment
+            # packet loss concealment (reference: silk_PLC PLC.c:71,
+            # decode_frame.c lost branch)
+            if self.fs_kHz != self.plc_fs_kHz:
+                self._plc_reset()
+                self.plc_fs_kHz = self.fs_kHz
             self.plc_conceal(ctrl, xq_out)
+            self.lossCnt += 1
             mv_len = self.ltp_mem_length - L
             self.outBuf[:mv_len] = self.outBuf[L:L + mv_len]
             self.outBuf[mv_len:mv_len + L] = xq_out[:L]
@@ -800,22 +807,124 @@ class ChannelState:
         self.plc_nb_subfr = 2
 
     def plc_conceal(self, ctrl: DecoderControl, xq_out):
-        """Minimal concealment: LPC extrapolation of previous signal with
-        attenuation (full classic conceal is a follow-up; reference:
-        silk/PLC.c silk_PLC_conceal)."""
+        """Classic concealment: periodic LTP extrapolation of the
+        rewhitened excitation plus attenuated noise, LPC-resynthesized
+        (reference: silk/PLC.c silk_PLC_conceal :216-429)."""
+        HARM_ATT_Q15 = (32440, 31130)
+        RAND_ATT_V_Q15 = (31130, 26214)
+        RAND_ATT_UV_Q15 = (32440, 29491)
+        RAND_BUF_SIZE = 128
         L = self.frame_length
         if self.fs_kHz != self.plc_fs_kHz:
             self._plc_reset()
             self.plc_fs_kHz = self.fs_kHz
-        # fade the previous output
-        prev = self.outBuf[self.ltp_mem_length - L:self.ltp_mem_length]
-        att = 0.9 ** (self.lossCnt + 1)
+        prev_gain_q10 = [self.plc_prevGain_Q16[0] >> 6,
+                         self.plc_prevGain_Q16[1] >> 6]
+        if self.first_frame_after_reset:
+            self.plc_prevLPC_Q12 = [0] * MAX_LPC_ORDER
+        # pick the lower-energy of the last two scaled excitation
+        # subframes as the random-noise source (silk_PLC_energy)
+        sl = self.subfr_length
+        exc_buf = [0] * (2 * sl)
+        for k in range(2):
+            base = (k + self.nb_subfr - 2) * sl
+            for i in range(sl):
+                exc_buf[k * sl + i] = SAT16(SMULWW(
+                    self.exc_Q14[base + i], prev_gain_q10[k]) >> 8)
+        energy1, shift1 = sum_sqr_shift(exc_buf[:sl])
+        energy2, shift2 = sum_sqr_shift(exc_buf[sl:])
+        if (energy1 >> shift2) < (energy2 >> shift1):
+            rand_base = max(0, (self.plc_nb_subfr - 1)
+                            * self.plc_subfr_length - RAND_BUF_SIZE)
+        else:
+            rand_base = max(0, self.plc_nb_subfr * self.plc_subfr_length
+                            - RAND_BUF_SIZE)
+        rand_buf = self.exc_Q14
+        b_q14 = self.plc_LTPCoef_Q14     # mutated in place (persists)
+        rand_scale_q14 = self.plc_randScale_Q14
+        att_idx = min(1, self.lossCnt)
+        harm_gain_q15 = HARM_ATT_Q15[att_idx]
+        if self.prevSignalType == TYPE_VOICED:
+            rand_gain_q15 = RAND_ATT_V_Q15[att_idx]
+        else:
+            rand_gain_q15 = RAND_ATT_UV_Q15[att_idx]
+        # bandwidth-expand the previous LPC (silk_bwexpander, chirp .99)
+        silk_bwexpander(self.plc_prevLPC_Q12, self.LPC_order,
+                        SILK_FIX_CONST(0.99, 16))
+        a_q12 = list(self.plc_prevLPC_Q12[:self.LPC_order])
+        if self.lossCnt == 0:
+            rand_scale_q14 = 1 << 14
+            if self.prevSignalType == TYPE_VOICED:
+                for i in range(LTP_ORDER):
+                    rand_scale_q14 -= b_q14[i]
+                rand_scale_q14 = max(3277, rand_scale_q14)
+                rand_scale_q14 = SMULBB(
+                    rand_scale_q14, self.plc_prevLTP_scale_Q14) >> 14
+            else:
+                inv_gain_q30 = lpc_inverse_pred_gain(
+                    self.plc_prevLPC_Q12, self.LPC_order)
+                down_scale = min((1 << 30) >> 3, inv_gain_q30)
+                down_scale = max((1 << 30) >> 8, down_scale)
+                down_scale <<= 3
+                rand_gain_q15 = SMULWB(down_scale, rand_gain_q15) >> 14
+        rand_seed = self.plc_rand_seed
+        lag = RSHIFT_ROUND(self.plc_pitchL_Q8, 8)
+        sltp_buf_idx = self.ltp_mem_length
+        # rewhiten the LTP state through the expanded LPC
+        idx = self.ltp_mem_length - lag - self.LPC_order - LTP_ORDER // 2
+        assert idx > 0
+        sltp = [0] * self.ltp_mem_length
+        tmp_out = [0] * (self.ltp_mem_length - idx)
+        lpc_analysis_filter(tmp_out, self.outBuf[idx:self.ltp_mem_length],
+                            a_q12, self.ltp_mem_length - idx,
+                            self.LPC_order)
+        sltp[idx:] = tmp_out
+        inv_gain_q30 = INVERSE32_varQ(self.plc_prevGain_Q16[1], 46)
+        inv_gain_q30 = min(inv_gain_q30, 0x7FFFFFFF >> 1)
+        sltp_q14 = [0] * (self.ltp_mem_length + L)
+        for i in range(idx + self.LPC_order, self.ltp_mem_length):
+            sltp_q14[i] = SMULWB(inv_gain_q30, sltp[i])
+        # LTP synthesis with decaying gains and drifting pitch
+        for k in range(self.nb_subfr):
+            p = sltp_buf_idx - lag + LTP_ORDER // 2
+            for i in range(self.subfr_length):
+                ltp_pred_q12 = 2
+                for j in range(LTP_ORDER):
+                    ltp_pred_q12 = SMLAWB(ltp_pred_q12,
+                                          sltp_q14[p + i - j], b_q14[j])
+                rand_seed = silk_RAND(rand_seed)
+                ridx = (rand_seed >> 25) & (RAND_BUF_SIZE - 1)
+                sltp_q14[sltp_buf_idx] = wrap32(SMLAWB(
+                    ltp_pred_q12, rand_buf[rand_base + ridx],
+                    rand_scale_q14) << 2)
+                sltp_buf_idx += 1
+            for j in range(LTP_ORDER):
+                b_q14[j] = SMULBB(harm_gain_q15, b_q14[j]) >> 15
+            rand_scale_q14 = SMULBB(rand_scale_q14, rand_gain_q15) >> 15
+            self.plc_pitchL_Q8 = SMLAWB(self.plc_pitchL_Q8,
+                                        self.plc_pitchL_Q8, 655)
+            self.plc_pitchL_Q8 = min(self.plc_pitchL_Q8,
+                                     (18 * self.fs_kHz) << 8)
+            lag = RSHIFT_ROUND(self.plc_pitchL_Q8, 8)
+        # LPC synthesis
+        base = self.ltp_mem_length - MAX_LPC_ORDER
+        sltp_q14[base:base + MAX_LPC_ORDER] = self.sLPC_Q14_buf
         for i in range(L):
-            xq_out[i] = SAT16(int(prev[i % len(prev)] * att)) if prev else 0
-        ctrl.Gains_Q16 = list(self.plc_prevGain_Q16) * (self.nb_subfr // 2)
-        ctrl.pitchL = [self.plc_pitchL_Q8 >> 8] * self.nb_subfr
-        self.lossCnt += 1
-        self.prevSignalType = TYPE_NO_VOICE_ACTIVITY  # conservative
+            lpc_pred_q10 = self.LPC_order >> 1
+            for j in range(self.LPC_order):
+                lpc_pred_q10 = SMLAWB(
+                    lpc_pred_q10,
+                    sltp_q14[base + MAX_LPC_ORDER + i - j - 1], a_q12[j])
+            sltp_q14[base + MAX_LPC_ORDER + i] = ADD_SAT32(
+                sltp_q14[base + MAX_LPC_ORDER + i],
+                LSHIFT_SAT32(lpc_pred_q10, 4))
+            xq_out[i] = SAT16(RSHIFT_ROUND(SMULWW(
+                sltp_q14[base + MAX_LPC_ORDER + i], prev_gain_q10[1]), 8))
+        self.sLPC_Q14_buf = list(
+            sltp_q14[base + L:base + L + MAX_LPC_ORDER])
+        self.plc_rand_seed = rand_seed
+        self.plc_randScale_Q14 = rand_scale_q14
+        ctrl.pitchL = [lag] * MAX_NB_SUBFR
 
     def plc_glue_frames(self, frame, length):
         if self.lossCnt:
@@ -881,7 +990,50 @@ class ChannelState:
                 if SMULWW(self.cng_smth_Gain_Q16,
                           CNG_GAIN_SMTH_THRESHOLD_Q16) > ctrl.Gains_Q16[i]:
                     self.cng_smth_Gain_Q16 = ctrl.Gains_Q16[i]
-        # loss-side CNG application is part of full PLC (follow-up)
+        # add comfort noise during loss (reference: silk/CNG.c:131-178)
+        if self.lossCnt:
+            gain_q16 = SMULWW(self.plc_randScale_Q14,
+                              self.plc_prevGain_Q16[1])
+            if gain_q16 >= (1 << 21) or self.cng_smth_Gain_Q16 > (1 << 23):
+                gain_q16 = (gain_q16 >> 16) * (gain_q16 >> 16)
+                gain_q16 = wrap32(
+                    (self.cng_smth_Gain_Q16 >> 16)
+                    * (self.cng_smth_Gain_Q16 >> 16) - (gain_q16 << 5))
+                gain_q16 = wrap32(SQRT_APPROX(gain_q16) << 16)
+            else:
+                gain_q16 = SMULWW(gain_q16, gain_q16)
+                gain_q16 = wrap32(
+                    SMULWW(self.cng_smth_Gain_Q16, self.cng_smth_Gain_Q16)
+                    - (gain_q16 << 5))
+                gain_q16 = wrap32(SQRT_APPROX(gain_q16) << 8)
+            gain_q10 = gain_q16 >> 6
+            # CNG excitation from random past samples (silk_CNG_exc)
+            exc_mask = 255
+            while exc_mask > length:
+                exc_mask >>= 1
+            seed = self.cng_rand_seed
+            cng_sig = [0] * (length + MAX_LPC_ORDER)
+            cng_sig[:MAX_LPC_ORDER] = self.cng_synth_state
+            exc = [0] * length
+            for i in range(length):
+                seed = silk_RAND(seed)
+                exc[i] = self.cng_exc_buf_Q14[(seed >> 24) & exc_mask]
+            self.cng_rand_seed = seed
+            a_q12 = nlsf2a(self.cng_smth_NLSF_Q15, self.LPC_order)
+            for i in range(length):
+                pred_q10 = self.LPC_order >> 1
+                for j in range(self.LPC_order):
+                    pred_q10 = SMLAWB(pred_q10,
+                                      cng_sig[MAX_LPC_ORDER + i - j - 1],
+                                      a_q12[j])
+                cng_sig[MAX_LPC_ORDER + i] = ADD_SAT32(
+                    exc[i], LSHIFT_SAT32(pred_q10, 4))
+                frame[i] = SAT16(frame[i] + SAT16(RSHIFT_ROUND(
+                    SMULWW(cng_sig[MAX_LPC_ORDER + i], gain_q10), 8)))
+            self.cng_synth_state = list(cng_sig[length:
+                                                length + MAX_LPC_ORDER])
+        else:
+            self.cng_synth_state = [0] * MAX_LPC_ORDER
 
 
 class _OffsetList:

@@ -68,3 +68,60 @@ def test_inband_fec_decode_parity(tmp_path):
             n = lib.opus_decode(ctypes.c_void_p(rdec), p, len(p),
                                 buf, 960, 0)
             float2int16(dec.decode(p, 960))
+
+
+def test_silk_plc_bit_exact_at_internal_rate(tmp_path):
+    """SILK classic concealment (silk_PLC_conceal + CNG loss branch)
+    must be bit-exact vs the reference when the API rate matches the
+    internal rate (16 kHz WB), across isolated and burst losses."""
+    import ctypes
+    import os
+    import struct
+    import subprocess
+    import numpy as np
+    import pytest
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    from opus_tpu.utils.soft_clip import float2int16
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    demo = os.path.join(repo, ".ref_build", "opus_demo")
+    solib = os.path.join(repo, ".ref_build_qext", "libopus.so")
+    if not (os.path.exists(demo) and os.path.exists(solib)):
+        pytest.skip("reference builds missing")
+    rng = np.random.default_rng(33)
+    fs = 48000
+    t = np.arange(fs) / fs
+    sig = (0.3 * np.sin(2 * np.pi * 280 * t)
+           * (1 + 0.3 * np.sin(2 * np.pi * 2.5 * t))
+           + 0.02 * rng.standard_normal(fs))
+    inp = tmp_path / "in.pcm"
+    bit = tmp_path / "o.bit"
+    float2int16(sig).astype('<i2').tofile(inp)
+    subprocess.run([demo, "-e", "voip", "48000", "1", "24000",
+                    str(inp), str(bit)], check=True, capture_output=True)
+    data = bit.read_bytes()
+    pkts = []
+    off = 0
+    while off < len(data):
+        ln, rg = struct.unpack('>II', data[off:off + 8])
+        off += 8
+        pkts.append(data[off:off + ln])
+        off += ln
+    lib = ctypes.CDLL(solib)
+    lib.opus_decoder_create.restype = ctypes.c_void_p
+    err = ctypes.c_int()
+    rdec = lib.opus_decoder_create(16000, 1, ctypes.byref(err))
+    dec = OpusDecoder(16000, 1)
+    lost = {20, 21, 35}
+    for i, p in enumerate(pkts[:45]):
+        buf = (ctypes.c_int16 * 320)()
+        if i in lost:
+            n = lib.opus_decode(ctypes.c_void_p(rdec), None, 0, buf,
+                                320, 0)
+            ours = float2int16(dec.decode(None, 320))
+        else:
+            n = lib.opus_decode(ctypes.c_void_p(rdec), p, len(p), buf,
+                                320, 0)
+            ours = float2int16(dec.decode(p, 320))
+        assert n == 320
+        ref = np.asarray(buf[:], np.int64)
+        assert np.abs(ours.astype(np.int64) - ref).max() == 0, f"frame {i}"
