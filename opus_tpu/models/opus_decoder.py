@@ -251,6 +251,15 @@ class OpusDecoder:
                     lost_flag=FLAG_PACKET_LOST, new_packet_flag=True)
                 n = min(len(out), len(pcm))
                 pcm[:n] = out[:n] / 32768.0
+                if mode == pkt.Mode.HYBRID:
+                    # hybrid loss: the CELT concealment (bands >= 8 kHz)
+                    # accumulates on top of the SILK concealment
+                    # (reference: opus_decode_frame data==NULL keeps
+                    # start_band=17 and runs celt PLC with accumulation,
+                    # src/opus_decoder.c:593-612)
+                    c.start = 17
+                    c.decode_with_ec(None, pcm, min(f20, frame_size),
+                                     None, accum=True)
             self.rangeFinal = 0
             return
         mode = self.mode

@@ -109,19 +109,22 @@ def test_silk_plc_bit_exact_at_internal_rate(tmp_path):
     lib = ctypes.CDLL(solib)
     lib.opus_decoder_create.restype = ctypes.c_void_p
     err = ctypes.c_int()
-    rdec = lib.opus_decoder_create(16000, 1, ctypes.byref(err))
-    dec = OpusDecoder(16000, 1)
     lost = {20, 21, 35}
-    for i, p in enumerate(pkts[:45]):
-        buf = (ctypes.c_int16 * 320)()
-        if i in lost:
-            n = lib.opus_decode(ctypes.c_void_p(rdec), None, 0, buf,
-                                320, 0)
-            ours = float2int16(dec.decode(None, 320))
-        else:
-            n = lib.opus_decode(ctypes.c_void_p(rdec), p, len(p), buf,
-                                320, 0)
-            ours = float2int16(dec.decode(p, 320))
-        assert n == 320
-        ref = np.asarray(buf[:], np.int64)
-        assert np.abs(ours.astype(np.int64) - ref).max() == 0, f"frame {i}"
+    for api_fs, tol in ((16000, 0), (48000, 1)):
+        fsz = api_fs // 50
+        rdec = lib.opus_decoder_create(api_fs, 1, ctypes.byref(err))
+        dec = OpusDecoder(api_fs, 1)
+        for i, p in enumerate(pkts[:45]):
+            buf = (ctypes.c_int16 * fsz)()
+            if i in lost:
+                n = lib.opus_decode(ctypes.c_void_p(rdec), None, 0, buf,
+                                    fsz, 0)
+                ours = float2int16(dec.decode(None, fsz))
+            else:
+                n = lib.opus_decode(ctypes.c_void_p(rdec), p, len(p),
+                                    buf, fsz, 0)
+                ours = float2int16(dec.decode(p, fsz))
+            assert n == fsz
+            ref = np.asarray(buf[:], np.int64)
+            assert np.abs(ours.astype(np.int64) - ref).max() <= tol, \
+                f"fs={api_fs} frame {i}"
