@@ -37,18 +37,10 @@ def test_inband_fec_decode_parity(tmp_path):
         off += 8
         pkts.append(data[off:off + ln])
         off += ln
-    # only losses whose NEXT packet carries LBRR exercise true FEC
-    # (otherwise the decoder conceals; SILK classic PLC is not yet
-    # bit-matched -- see COMPONENTS.md gap 0).  LBRR flag = bit 6 of the
-    # first SILK payload byte for 20 ms mono packets.
-    lbrr = [len(p) > 1 and bool(p[1] & 0x40) for p in pkts]
-    lost = []
-    for i in range(5, len(pkts) - 1):
-        if lbrr[i + 1] and (not lost or i > lost[-1] + 4):
-            lost.append(i)
-        if len(lost) == 4:
-            break
-    assert len(lost) >= 2, "stream carries too little LBRR"
+    # losses at arbitrary positions: FEC decodes LBRR when the next
+    # packet carries it and falls back to (bit-matched) concealment
+    # otherwise
+    lost = [12, 20, 30, 44]
     lib = ctypes.CDLL(solib)
     lib.opus_decoder_create.restype = ctypes.c_void_p
     err = ctypes.c_int()
