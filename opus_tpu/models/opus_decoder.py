@@ -225,6 +225,38 @@ class OpusDecoder:
                 out[i * ch + c] = g * in2[i * ch + c] \
                     + (1 - g) * in1[i * ch + c]
 
+    def _conceal_chunk(self, pcm: np.ndarray, frame_size: int,
+                       mode: int) -> None:
+        """Conceal one <=20 ms piece in the given mode (reference: the
+        data==NULL flow of opus_decode_frame, src/opus_decoder.c:404-612)."""
+        c = self.celt
+        f20 = self.fs // 50
+        if mode == pkt.Mode.CELT_ONLY:
+            ret = c.decode_with_ec(None, pcm, frame_size, None)
+            if ret < 0:
+                raise RuntimeError(f"celt PLC failed ({ret})")
+        else:
+            out = self.silk.decode(
+                None, n_channels_api=self.channels,
+                n_channels_internal=self.silk.nChannelsInternal or 1,
+                api_sample_rate=self.fs,
+                internal_sample_rate=1000 * (self.silk.channel_state[0].fs_kHz or 16),
+                payload_size_ms=max(10, 1000 * frame_size // self.fs),
+                lost_flag=FLAG_PACKET_LOST, new_packet_flag=True)
+            n = min(len(out), len(pcm))
+            pcm[:n] = out[:n] / 32768.0
+            if mode == pkt.Mode.HYBRID:
+                # hybrid loss: the CELT concealment (bands >= 8 kHz)
+                # accumulates on top of the SILK concealment
+                # (reference: opus_decode_frame data==NULL keeps
+                # start_band=17 and runs celt PLC with accumulation,
+                # src/opus_decoder.c:593-612)
+                c.start = 17
+                ret = c.decode_with_ec(None, pcm, min(f20, frame_size),
+                                       None, accum=True)
+                if ret < 0:
+                    raise RuntimeError(f"celt PLC failed ({ret})")
+
     def _decode_frame(self, frame: bytes | None, pcm: np.ndarray,
                       frame_size: int, qext_payload: bytes | None = None,
                       decode_fec: bool = False):
@@ -237,30 +269,38 @@ class OpusDecoder:
         f5 = f10 >> 1
         f2_5 = f5 >> 1
         ch = self.channels
+        if frame is not None and len(frame) <= 1:
+            # DTX: payloads of 0 or 1 byte (2 including TOC) trigger the
+            # PLC, concealing no more than the TOC duration (reference:
+            # src/opus_decoder.c:316-321)
+            frame = None
+            frame_size = min(frame_size, self.frame_size)
         if frame is None:
             mode = pkt.Mode.CELT_ONLY if self.prev_redundancy else self.prev_mode
-            if mode == pkt.Mode.CELT_ONLY:
-                c.decode_with_ec(None, pcm, frame_size, None)
-            else:
-                out = self.silk.decode(
-                    None, n_channels_api=self.channels,
-                    n_channels_internal=self.silk.nChannelsInternal or 1,
-                    api_sample_rate=self.fs,
-                    internal_sample_rate=1000 * (self.silk.channel_state[0].fs_kHz or 16),
-                    payload_size_ms=max(10, 1000 * frame_size // self.fs),
-                    lost_flag=FLAG_PACKET_LOST, new_packet_flag=True)
-                n = min(len(out), len(pcm))
-                pcm[:n] = out[:n] / 32768.0
-                if mode == pkt.Mode.HYBRID:
-                    # hybrid loss: the CELT concealment (bands >= 8 kHz)
-                    # accumulates on top of the SILK concealment
-                    # (reference: opus_decode_frame data==NULL keeps
-                    # start_band=17 and runs celt PLC with accumulation,
-                    # src/opus_decoder.c:593-612)
-                    c.start = 17
-                    c.decode_with_ec(None, pcm, min(f20, frame_size),
-                                     None, accum=True)
             self.rangeFinal = 0
+            if mode == 0:
+                # no packet decoded yet: all we can do is return zeros
+                # (reference: src/opus_decoder.c:334-341)
+                return
+            # Conceal in pieces the PLC can run on: at most 20 ms each,
+            # and only 2.5/5 (CELT) or 10/20 ms sizes (reference:
+            # src/opus_decoder.c:343-366)
+            done = 0
+            while done < frame_size:
+                chunk = min(frame_size - done, f20)
+                if chunk < f20:
+                    if chunk > f10:
+                        chunk = f10
+                    elif (mode != pkt.Mode.SILK_ONLY
+                          and f5 < chunk < f10):
+                        chunk = f5
+                self._conceal_chunk(pcm[done * ch:(done + chunk) * ch],
+                                    chunk, mode)
+                done += chunk
+            # the reference updates these unconditionally at the end of
+            # opus_decode_frame (src/opus_decoder.c:702-703)
+            self.prev_mode = mode
+            self.prev_redundancy = False
             return
         mode = self.mode
         dec = make_range_decoder(frame)

@@ -120,3 +120,113 @@ def test_silk_plc_bit_exact_at_internal_rate(tmp_path):
             ref = np.asarray(buf[:], np.int64)
             assert np.abs(ours.astype(np.int64) - ref).max() <= tol, \
                 f"fs={api_fs} frame {i}"
+
+
+def _demo_packets(tmp_path, sig, args):
+    """Encode sig via the reference opus_demo; return the packet list."""
+    import os
+    import struct
+    import subprocess
+    import pytest
+    from opus_tpu.utils.soft_clip import float2int16
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    demo = os.path.join(repo, ".ref_build", "opus_demo")
+    solib = os.path.join(repo, ".ref_build_qext", "libopus.so")
+    if not (os.path.exists(demo) and os.path.exists(solib)):
+        pytest.skip("reference builds missing")
+    inp = tmp_path / "in.pcm"
+    bit = tmp_path / "o.bit"
+    float2int16(sig).astype('<i2').tofile(inp)
+    subprocess.run([demo, "-e"] + args + [str(inp), str(bit)],
+                   check=True, capture_output=True)
+    data = bit.read_bytes()
+    pkts = []
+    off = 0
+    while off < len(data):
+        ln, rg = struct.unpack('>II', data[off:off + 8])
+        off += 8
+        pkts.append(data[off:off + ln])
+        off += ln
+    return pkts, solib
+
+
+def _ref_decoder(solib, fs, ch):
+    import ctypes
+    lib = ctypes.CDLL(solib)
+    lib.opus_decoder_create.restype = ctypes.c_void_p
+    err = ctypes.c_int()
+    return lib, lib.opus_decoder_create(fs, ch, ctypes.byref(err))
+
+
+def test_dtx_toc_only_packet_routes_to_plc(tmp_path):
+    """Packets whose frame payload is empty (TOC-only, as DTX emits) must
+    run the PLC, not be range-decoded as data (reference: payloads of
+    0/1 bytes trigger PLC, src/opus_decoder.c:316-321)."""
+    import ctypes
+    import numpy as np
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    from opus_tpu.utils.soft_clip import float2int16
+    rng = np.random.default_rng(7)
+    fs = 48000
+    t = np.arange(fs) / fs
+    sig = 0.3 * np.sin(2 * np.pi * 300 * t) + 0.02 * rng.standard_normal(fs)
+    pkts, solib = _demo_packets(
+        tmp_path, sig, ["restricted-lowdelay", "48000", "1", "64000"])
+    lib, rdec = _ref_decoder(solib, fs, 1)
+    dec = OpusDecoder(fs, 1)
+    fsz = fs // 50
+    for i, p in enumerate(pkts[:12]):
+        stream = [p] if i % 4 != 3 else [p, p[:1]]  # inject TOC-only DTX
+        for q in stream:
+            buf = (ctypes.c_int16 * fsz)()
+            n = lib.opus_decode(ctypes.c_void_p(rdec), q, len(q), buf,
+                                fsz, 0)
+            ours = float2int16(dec.decode(q, fsz))
+            assert n == fsz
+            ref = np.asarray(buf[:], np.int64)
+            assert np.abs(ours.astype(np.int64) - ref).max() <= 2, \
+                f"frame {i} len={len(q)}"
+    # before any packet: TOC-only must yield silence and rangeFinal=0
+    fresh = OpusDecoder(16000, 1)
+    out = float2int16(fresh.decode(b"\x78"))
+    assert not np.any(out)
+    assert fresh.rangeFinal == 0
+
+
+def test_long_loss_plc_parity(tmp_path):
+    """PLC for losses > 20 ms must chunk concealment like the reference
+    (src/opus_decoder.c:343-358) instead of returning silence."""
+    import ctypes
+    import numpy as np
+    from opus_tpu.models.opus_decoder import OpusDecoder
+    from opus_tpu.utils.soft_clip import float2int16
+    rng = np.random.default_rng(11)
+    fs = 48000
+    t = np.arange(fs) / fs
+    sig = (0.3 * np.sin(2 * np.pi * 350 * t)
+           * (1 + 0.3 * np.sin(2 * np.pi * 3.0 * t))
+           + 0.02 * rng.standard_normal(fs))
+    pkts, solib = _demo_packets(
+        tmp_path, sig, ["restricted-lowdelay", "48000", "1", "64000"])
+    lib, rdec = _ref_decoder(solib, fs, 1)
+    dec = OpusDecoder(fs, 1)
+    for p in pkts[:10]:
+        buf = (ctypes.c_int16 * 960)()
+        lib.opus_decode(ctypes.c_void_p(rdec), p, len(p), buf, 960, 0)
+        float2int16(dec.decode(p, 960))
+    for loss_ms in (40, 60):
+        fsz = fs * loss_ms // 1000
+        buf = (ctypes.c_int16 * fsz)()
+        n = lib.opus_decode(ctypes.c_void_p(rdec), None, 0, buf, fsz, 0)
+        ours = float2int16(dec.decode(None, fsz))
+        assert n == fsz
+        ref = np.asarray(buf[:], np.int64)
+        assert np.any(ref != 0) and np.any(ours != 0)
+        assert np.abs(ours.astype(np.int64) - ref).max() <= 2, loss_ms
+    # stream must continue cleanly after the long loss
+    buf = (ctypes.c_int16 * 960)()
+    p = pkts[10]
+    lib.opus_decode(ctypes.c_void_p(rdec), p, len(p), buf, 960, 0)
+    ours = float2int16(dec.decode(p, 960))
+    ref = np.asarray(buf[:], np.int64)
+    assert np.abs(ours.astype(np.int64) - ref).max() <= 2
