@@ -42,3 +42,36 @@ def load_entropy():
     lib.ecd_dec_uint.restype = ctypes.c_uint32
     _CACHE["entropy"] = lib
     return lib
+
+
+def load_celt_sym():
+    """Build/load the native CELT symbol-pass library (entropy.c +
+    celt_dec.c).  Returns None when no compiler is available."""
+    if "celt_sym" in _CACHE:
+        return _CACHE["celt_sym"]
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
+    srcs = [os.path.join(here, "entropy.c"), os.path.join(here, "celt_dec.c")]
+    hdr = os.path.join(here, "entropy.h")
+    out_dir = os.path.join(repo, ".native_build")
+    so = os.path.join(out_dir, "libceltsym.so")
+    try:
+        newest = max(os.path.getmtime(p) for p in srcs + [hdr])
+        if not os.path.exists(so) or os.path.getmtime(so) < newest:
+            os.makedirs(out_dir, exist_ok=True)
+            cc = sysconfig.get_config_var("CC") or "cc"
+            subprocess.run(cc.split() + ["-O3", "-fPIC", "-shared",
+                                         "-I", here] + srcs
+                           + ["-o", so, "-lm", "-lpthread"],
+                           check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+    except (OSError, subprocess.SubprocessError):
+        _CACHE["celt_sym"] = None
+        return None
+    lib.celt_mode_new.restype = ctypes.c_void_p
+    lib.celt_sym_state_size.restype = ctypes.c_int32
+    lib.celt_sym_out_size.restype = ctypes.c_int32
+    lib.celt_work_size.restype = ctypes.c_int32
+    lib.celt_decode_symbols.restype = ctypes.c_int32
+    _CACHE["celt_sym"] = lib
+    return lib

@@ -12,6 +12,8 @@
 
 #include <stdint.h>
 
+#include "entropy.h"
+
 #define SYM_BITS 8
 #define CODE_BITS 32
 #define SYM_MAX ((1u << SYM_BITS) - 1)
@@ -20,21 +22,6 @@
 #define CODE_EXTRA (((CODE_BITS - 2) % SYM_BITS) + 1)
 #define UINT_BITS 8
 #define WINDOW_SIZE 32
-
-typedef struct {
-    const unsigned char *buf;
-    int32_t storage;
-    int32_t end_offs;
-    uint32_t end_window;
-    int32_t nend_bits;
-    int32_t nbits_total;
-    int32_t offs;
-    uint32_t rng;
-    uint32_t val;
-    uint32_t ext;
-    int32_t rem;
-    int32_t error;
-} ecdec;
 
 static int read_byte(ecdec *d) {
     if (d->offs < d->storage) return d->buf[d->offs++];
