@@ -60,10 +60,15 @@ def load_celt_sym():
         if not os.path.exists(so) or os.path.getmtime(so) < newest:
             os.makedirs(out_dir, exist_ok=True)
             cc = sysconfig.get_config_var("CC") or "cc"
-            subprocess.run(cc.split() + ["-O3", "-fPIC", "-shared",
-                                         "-I", here] + srcs
-                           + ["-o", so, "-lm", "-lpthread"],
-                           check=True, capture_output=True)
+            base = cc.split() + ["-O3", "-fPIC", "-shared", "-I", here] \
+                + srcs + ["-o", so, "-lm", "-lpthread"]
+            # built at first use on the running host, so -march=native is
+            # safe; fall back for compilers that lack it
+            try:
+                subprocess.run(base + ["-march=native"], check=True,
+                               capture_output=True)
+            except subprocess.SubprocessError:
+                subprocess.run(base, check=True, capture_output=True)
         lib = ctypes.CDLL(so)
     except (OSError, subprocess.SubprocessError):
         _CACHE["celt_sym"] = None

@@ -1501,7 +1501,7 @@ void celt_state_init(symstate *st) {
 int celt_decode_symbols(const void *mode, symstate *st,
                         const unsigned char *data, int32_t len, int32_t LM,
                         int32_t C, int32_t start, int32_t end,
-                        int32_t disable_inv, double *X_out,
+                        int32_t disable_inv, float *Xf_out,
                         double *eBands_out, symout *out, double *work) {
     const CeltModeC *m = (const CeltModeC *)mode;
     ecdec dec;
@@ -1524,8 +1524,10 @@ int celt_decode_symbols(const void *mode, symstate *st,
     double *oldLogE = st->oldLogE;
     double *oldLogE2 = st->oldLogE2;
     double *backgroundLogE = st->backgroundLogE;
-    /* workspace layout: norm [C * (M*eBands[nb-1])], scratch [N], iy [N] */
-    double *norm_buf = work;
+    /* workspace layout: X [2*N], norm [2 * M*eBands[nb-1]], scratch [N],
+       iy [N] (as doubles) */
+    double *X_out = work;
+    double *norm_buf = X_out + 2 * N;
     double *scratch = norm_buf + 2 * (M * m->eBands[nbEBands - 1]);
     int *iy_scratch = (int *)(scratch + N);
 
@@ -1753,6 +1755,7 @@ int celt_decode_symbols(const void *mode, symstate *st,
     out->rng = st->rng;
     eff_end = end < m->effEBands ? end : m->effEBands;
     (void)eff_end;
+    for (i = 0; i < C * N; i++) Xf_out[i] = (float)X_out[i];
     if (ecd_tell(&dec) > 8 * len) {
         out->error = -3;
         return -3;
@@ -1769,8 +1772,8 @@ int32_t celt_work_size(const void *mode, int32_t LM) {
     const CeltModeC *m = (const CeltModeC *)mode;
     int M = 1 << LM;
     int N = M * m->shortMdctSize;
-    /* norm (2 ch) + scratch + iy as doubles (int array fits in N doubles) */
-    return 2 * (M * m->eBands[m->nbEBands - 1]) + N + N;
+    /* X (2 ch) + norm (2 ch) + scratch + iy (int array fits in N doubles) */
+    return 2 * N + 2 * (M * m->eBands[m->nbEBands - 1]) + N + N;
 }
 
 /* ------------------------------------------------------------------ */
@@ -1783,8 +1786,11 @@ typedef struct {
     const int64_t *offsets;
     const int32_t *lens;
     int32_t lm, C, start, end, disable_inv;
-    double *X_out;       /* [ns, C*N] */
-    double *e_out;       /* [ns, 2*nb] */
+    float *X_out;        /* [ns, C*N] */
+    float *e_out;        /* [ns, C, nb] */
+    double *pf_out;      /* [ns, 6]: t0,t1,t1b,g0,g1,g1b */
+    int32_t *flag_out;   /* [ns, 8]: silence,transient,intra,anti_collapse,
+                            error,ts0,ts1,ts1b */
     symout *outs;
     int32_t nstreams;
     int32_t xstride, estride;
@@ -1796,13 +1802,34 @@ typedef struct {
 
 static void *batch_worker(void *arg) {
     batchjob *j = (batchjob *)arg;
+    const CeltModeC *m = (const CeltModeC *)j->mode;
     int32_t s;
+    int i, ch;
+    double ebuf[2 * MAXB];
     for (s = j->begin; s < j->nstreams; s += j->step) {
+        symout *o = j->outs + s;
         j->rets[s] = celt_decode_symbols(
             j->mode, j->states + s, j->buf + j->offsets[s], j->lens[s],
             j->lm, j->C, j->start, j->end, j->disable_inv,
-            j->X_out + (size_t)s * j->xstride,
-            j->e_out + (size_t)s * j->estride, j->outs + s, j->work);
+            j->X_out + (size_t)s * j->xstride, ebuf, o, j->work);
+        for (ch = 0; ch < j->C; ch++)
+            for (i = 0; i < m->nbEBands; i++)
+                j->e_out[(size_t)s * j->estride + ch * m->nbEBands + i] =
+                    (float)ebuf[ch * m->nbEBands + i];
+        j->pf_out[s * 6 + 0] = o->pf_t0;
+        j->pf_out[s * 6 + 1] = o->pf_t1;
+        j->pf_out[s * 6 + 2] = o->pf_t1b;
+        j->pf_out[s * 6 + 3] = o->pf_g0;
+        j->pf_out[s * 6 + 4] = o->pf_g1;
+        j->pf_out[s * 6 + 5] = o->pf_g1b;
+        j->flag_out[s * 8 + 0] = o->silence;
+        j->flag_out[s * 8 + 1] = o->is_transient;
+        j->flag_out[s * 8 + 2] = o->intra;
+        j->flag_out[s * 8 + 3] = o->anti_collapse_on;
+        j->flag_out[s * 8 + 4] = o->error;
+        j->flag_out[s * 8 + 5] = o->pf_ts0;
+        j->flag_out[s * 8 + 6] = o->pf_ts1;
+        j->flag_out[s * 8 + 7] = o->pf_ts1b;
     }
     return NULL;
 }
@@ -1812,7 +1839,8 @@ void celt_decode_symbols_batch(const void *mode, int32_t nstreams,
                                const int64_t *offsets, const int32_t *lens,
                                int32_t lm, int32_t C, int32_t start,
                                int32_t end, int32_t disable_inv,
-                               double *X_out, double *e_out, symout *outs,
+                               float *X_out, float *e_out, double *pf_out,
+                               int32_t *flag_out, symout *outs,
                                int32_t *rets, int32_t nthreads) {
     const CeltModeC *m = (const CeltModeC *)mode;
     int32_t wsz = celt_work_size(mode, lm);
@@ -1840,10 +1868,12 @@ void celt_decode_symbols_batch(const void *mode, int32_t nstreams,
             jobs[t].disable_inv = disable_inv;
             jobs[t].X_out = X_out;
             jobs[t].e_out = e_out;
+            jobs[t].pf_out = pf_out;
+            jobs[t].flag_out = flag_out;
             jobs[t].outs = outs;
             jobs[t].nstreams = nstreams;
             jobs[t].xstride = C * N;
-            jobs[t].estride = 2 * m->nbEBands;
+            jobs[t].estride = C * m->nbEBands;
             jobs[t].rets = rets;
             jobs[t].begin = t;
             jobs[t].step = nthreads;

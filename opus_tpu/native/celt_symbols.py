@@ -128,13 +128,17 @@ class CeltSymbolBatch:
         if nthreads is None:
             nthreads = min(os.cpu_count() or 1, batch)
         self.nthreads = max(1, nthreads)
-        self.X = np.zeros((batch, self.C * self.N), np.float64)
-        self.energies = np.zeros((batch, 2 * self.nb), np.float64)
+        self.X = np.zeros((batch, self.C * self.N), np.float32)
+        self.energies = np.zeros((batch, self.C * self.nb), np.float32)
+        self.pf = np.zeros((batch, 6), np.float64)
+        self.flags = np.zeros((batch, 8), np.int32)
 
     def decode(self, frames: list[bytes], start: int = 0,
                end: int | None = None, disable_inv: int | None = None):
-        """Decode one frame per stream.  Returns (X [B, C*N] f64,
-        energies [B, 2*nb] f64, outs ctypes array, rets [B])."""
+        """Decode one frame per stream.  Returns (X [B, C*N] f32,
+        energies [B, C*nb] f32, pf [B, 6] f64 (t0,t1,t1b,g0,g1,g1b),
+        flags [B, 8] i32 (silence,transient,intra,anti_collapse,error,
+        ts0,ts1,ts1b), rets [B])."""
         assert len(frames) == self.batch
         if end is None:
             end = self.mode.effEBands
@@ -149,9 +153,11 @@ class CeltSymbolBatch:
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.lm, self.C, start, end, disable_inv,
-            self.X.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            self.energies.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.X.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.energies.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.pf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.flags.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.outs,
             self.rets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.nthreads)
-        return self.X, self.energies, self.outs, self.rets
+        return self.X, self.energies, self.pf, self.flags, self.rets

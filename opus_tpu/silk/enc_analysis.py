@@ -12,8 +12,8 @@ import numpy as np
 
 from . import tables as T
 from . import tables_data as TD
-from .macros import (SILK_FIX_CONST, SMLAWB, SMULBB, wrap32, lin2log,
-                     log2lin)
+from .macros import (SILK_FIX_CONST, SMLAWB, SMULBB, SMULWB, wrap32,
+                     lin2log, log2lin)
 from .tables import (LTP_ORDER, PE_MIN_LAG_MS, PE_MAX_LAG_MS, MAX_NB_SUBFR,
                      TYPE_VOICED)
 
@@ -247,59 +247,270 @@ def find_pitch_lags(state, x_buf, res_out):
     return pred_gain
 
 
-def pitch_analysis(res, fs_khz, nb_subfr, subfr_length, ltp_mem_length,
-                   la_pitch, thrhld, prev_lag):
-    """Contour-codebook pitch search over the LPC residual.
+def _float2short(x):
+    return np.clip(np.rint(np.asarray(x, np.float64)), -32768,
+                   32767).astype(np.int64)
 
-    Unlike the reference's 3-stage decimated search
-    (pitch_analysis_core_FLP.c), we search the (base lag x contour) grid
-    directly with vectorized correlations -- same codebooks, so the coded
-    (lagIndex, contourIndex) decode to exactly the pitchL we used.
-    Returns (voiced, lag_index, contour_index, pitchL, ltp_corr)."""
-    min_lag = PE_MIN_LAG_MS * fs_khz
-    max_lag = PE_MAX_LAG_MS * fs_khz
-    if fs_khz == 8:
-        cb = T.CB_LAGS_STAGE2 if nb_subfr == MAX_NB_SUBFR else T.CB_LAGS_STAGE2_10MS
+
+def _resampler_down2(x16):
+    """silk_resampler_down2 (reference: silk/resampler_down2.c:36), fresh
+    zero state; exact int32 math."""
+    c0, c1 = 9872, 39809 - 65536
+    s0 = s1 = 0
+    n2 = len(x16) >> 1
+    out = np.zeros(n2, np.int64)
+    for k in range(n2):
+        in32 = int(x16[2 * k]) << 10
+        y = in32 - s0
+        xx = SMULWB(y, c1) + y
+        out32 = s0 + xx
+        s0 = in32 + xx
+        in32 = int(x16[2 * k + 1]) << 10
+        y = in32 - s1
+        xx = SMULWB(y, c0)
+        out32 = out32 + s1 + xx
+        s1 = in32 + xx
+        out[k] = max(-32768, min(32767, (out32 + 1024) >> 11))
+    return out
+
+
+_RESAMPLER_2_3_COEFS_LQ = (-2797, -6507, 4697, 10739, 1567, 8276)
+
+
+def _resampler_down2_3(x16):
+    """silk_resampler_down2_3 (reference: silk/resampler_down2_3.c:46),
+    fresh zero state."""
+    cf = _RESAMPLER_2_3_COEFS_LQ
+    n = len(x16)
+    buf = np.zeros(n + 4, np.int64)
+    # second-order AR filter, output Q8 (silk_resampler_private_AR2)
+    s0 = s1 = 0
+    for k in range(n):
+        out32 = s0 + (int(x16[k]) << 8)
+        buf[4 + k] = out32
+        out32 <<= 2
+        s0 = SMLAWB(s1, out32, cf[0])
+        s1 = SMULWB(out32, cf[1])
+    out = []
+    i = 0
+    counter = n
+    while counter > 2:
+        b = buf[i:i + 5]
+        r = SMULWB(int(b[0]), cf[2])
+        r = SMLAWB(r, int(b[1]), cf[3])
+        r = SMLAWB(r, int(b[2]), cf[5])
+        r = SMLAWB(r, int(b[3]), cf[4])
+        out.append(max(-32768, min(32767, (r + 32) >> 6)))
+        r = SMULWB(int(b[1]), cf[4])
+        r = SMLAWB(r, int(b[2]), cf[5])
+        r = SMLAWB(r, int(b[3]), cf[3])
+        r = SMLAWB(r, int(b[4]), cf[2])
+        out.append(max(-32768, min(32767, (r + 32) >> 6)))
+        i += 3
+        counter -= 3
+    return np.asarray(out, np.int64)
+
+
+NB_CBK_SEARCHS_STAGE3 = (16, 24, 34)
+LAG_RANGE_STAGE3 = [[[TD.LAG_RANGE_STAGE3[(c * 4 + k) * 2 + e]
+                      for e in range(2)] for k in range(4)]
+                    for c in range(3)]
+LAG_RANGE_STAGE3_10MS = [[-3, 7], [-2, 7]]
+PE_SHORTLAG_BIAS = 0.2
+PE_PREVLAG_BIAS = 0.2
+PE_FLATCONTOUR_BIAS = 0.05
+PE_NB_STAGE3_LAGS = 5
+
+
+def pitch_analysis(res, fs_khz, nb_subfr, thres1, thres2, pe_complexity,
+                   prev_lag, prev_ltp_corr):
+    """3-stage decimated open-loop pitch search (reference:
+    silk_pitch_analysis_core_FLP float/pitch_analysis_core_FLP.c:69).
+
+    res: LPC residual, laid out [20 ms history | nb_subfr*5 ms frame] at
+    fs_khz.  Returns (voiced, lag_index, contour_index, pitchL, ltp_corr).
+    """
+    f32 = np.float32
+    frame_length = (20 + nb_subfr * 5) * fs_khz
+    frame = np.asarray(res[:frame_length], np.float64)
+    sf_length = 5 * fs_khz
+    sf4, sf8 = 20, 40
+    min_lag, max_lag = 2 * fs_khz, 18 * fs_khz - 1
+    min4, max4 = 8, 72
+    min8, max8 = 16, 143
+
+    # decimate to 8 kHz then 4 kHz (exact int16 chain like the reference)
+    x16 = _float2short(frame)
+    if fs_khz == 16:
+        f8 = _resampler_down2(x16)
+    elif fs_khz == 12:
+        f8 = _resampler_down2_3(x16)
     else:
-        cb = T.CB_LAGS_STAGE3 if nb_subfr == MAX_NB_SUBFR else T.CB_LAGS_STAGE3_10MS
-    nb_cbk = len(cb[0])
+        f8 = x16
+    f4 = _resampler_down2(f8).astype(np.float64)
+    # low-pass: x[i] += x[i-1], int16-saturating like the reference
+    for i in range(len(f4) - 1, 0, -1):
+        v = int(f4[i]) + int(f4[i - 1])
+        f4[i] = max(-32768, min(32767, v))
 
-    frame_start = ltp_mem_length
-    # normalized cross-correlation per subframe for every lag
-    nlags = max_lag - min_lag + 1
-    corr = np.zeros((nb_subfr, nlags))
+    # ---- stage 1: 4 kHz, correlations over 10 ms chunks ----
+    n4 = len(f4)
+    c1 = np.zeros(max4 + 1, f32)
+    t0 = 4 * sf4
+    for k in range(nb_subfr >> 1):
+        target = f4[t0 + k * sf8:t0 + (k + 1) * sf8]
+        e_t = float(np.dot(target, target))
+        for d in range(min4, max4 + 1):
+            basis = f4[t0 + k * sf8 - d:t0 + (k + 1) * sf8 - d]
+            cc = float(np.dot(target, basis))
+            nrm = e_t + float(np.dot(basis, basis)) + sf8 * 4000.0
+            c1[d] += f32(2 * cc / nrm)
+    for d in range(max4, min4 - 1, -1):
+        c1[d] -= c1[d] * d / f32(4096.0)
+
+    length_d_srch = 4 + 2 * pe_complexity
+    vals = c1[min4:max4 + 1]
+    order = np.argsort(-vals, kind="stable")[:length_d_srch]
+    svals = vals[order]
+    cmax = float(svals[0])
+    if cmax < 0.2:
+        return False, 0, 0, [0] * nb_subfr, 0.0
+    threshold = thres1 * cmax
+    d_srch = []
+    for i in range(length_d_srch):
+        if svals[i] > threshold:
+            d_srch.append((int(order[i]) + min4) << 1)
+        else:
+            break
+    length_d_srch = len(d_srch)
+
+    d_comp = np.zeros(max8 + 10, np.int64)
+    for d in d_srch:
+        d_comp[d] = 1
+    for i in range(max8 + 3, min8 - 1, -1):
+        d_comp[i] += d_comp[i - 1] + d_comp[i - 2]
+    d_srch = [i for i in range(min8, max8 + 1) if d_comp[i + 1] > 0]
+    for i in range(max8 + 3, min8 - 1, -1):
+        d_comp[i] += d_comp[i - 1] + d_comp[i - 2] + d_comp[i - 3]
+    d_comp_l = [i - 2 for i in range(min8, max8 + 4) if d_comp[i] > 0]
+
+    # ---- stage 2: 8 kHz on surviving lag sections ----
+    f8f = f8.astype(np.float64)
+    c2 = np.zeros((nb_subfr, max8 + 5), f32)
+    t0_8 = 20 * 8
     for k in range(nb_subfr):
-        seg = res[frame_start + k * subfr_length:
-                  frame_start + (k + 1) * subfr_length]
-        e_seg = float(np.dot(seg, seg)) + 1.0
-        for li, lag in enumerate(range(min_lag, max_lag + 1)):
-            past = res[frame_start + k * subfr_length - lag:
-                       frame_start + (k + 1) * subfr_length - lag]
-            xy = float(np.dot(seg, past))
-            yy = float(np.dot(past, past)) + 1.0
-            corr[k, li] = xy / math.sqrt(e_seg * yy) if xy > 0 else 0.0
+        target = f8f[t0_8 + k * sf8:t0_8 + (k + 1) * sf8]
+        e_t = float(np.dot(target, target)) + 1.0
+        for d in d_comp_l:
+            basis = f8f[t0_8 + k * sf8 - d:t0_8 + (k + 1) * sf8 - d]
+            cc = float(np.dot(basis, target))
+            if cc > 0.0:
+                e_b = float(np.dot(basis, basis))
+                c2[k, d] = f32(2 * cc / (e_b + e_t))
 
-    best = (-1.0, 0, 0)
-    for base in range(min_lag, max_lag + 1):
-        for ci in range(nb_cbk):
-            score = 0.0
-            ok = True
-            for k in range(nb_subfr):
-                lag = base + cb[k][ci]
-                lag = min(max(lag, min_lag), max_lag)
-                score += corr[k, lag - min_lag]
-            # light bias towards contour 0 / continuity with prev lag
-            score /= nb_subfr
-            if prev_lag > 0 and abs(base - prev_lag) <= 2:
-                score += 0.02
-            if score > best[0]:
-                best = (score, base, ci)
-    score, base, ci = best
-    if score < thrhld:
-        return False, 0, 0, [0] * nb_subfr, max(0.0, score)
-    pitch_l = [min(max(base + cb[k][ci], min_lag), max_lag)
-               for k in range(nb_subfr)]
-    return True, base - min_lag, ci, pitch_l, score
+    if nb_subfr == 4:
+        cbk_size = T.PE_NB_CBKS_STAGE2_EXT
+        lag_cb = T.CB_LAGS_STAGE2
+        nb_cbk = (T.PE_NB_CBKS_STAGE2_EXT
+                  if fs_khz == 8 and pe_complexity > 0
+                  else T.PE_NB_CBKS_STAGE2)
+    else:
+        cbk_size = T.PE_NB_CBKS_STAGE2_10MS
+        lag_cb = T.CB_LAGS_STAGE2_10MS
+        nb_cbk = T.PE_NB_CBKS_STAGE2_10MS
+
+    prev_lag8 = prev_lag
+    if prev_lag8 > 0:
+        if fs_khz == 12:
+            prev_lag8 = (prev_lag8 << 1) // 3
+        elif fs_khz == 16:
+            prev_lag8 >>= 1
+        prev_lag_log2 = math.log2(float(prev_lag8))
+    else:
+        prev_lag_log2 = 0.0
+
+    ccmax, ccmax_b = 0.0, -1000.0
+    cbimax, lag = 0, -1
+    for d in d_srch:
+        cc = [sum(float(c2[i, d + lag_cb[i][j]]) for i in range(nb_subfr))
+              for j in range(nb_cbk)]
+        ccmax_new = max(cc)
+        cbimax_new = cc.index(ccmax_new)
+        lag_log2 = math.log2(float(d))
+        ccmax_new_b = ccmax_new - PE_SHORTLAG_BIAS * nb_subfr * lag_log2
+        if prev_lag8 > 0:
+            dl2 = (lag_log2 - prev_lag_log2) ** 2
+            ccmax_new_b -= (PE_PREVLAG_BIAS * nb_subfr * prev_ltp_corr
+                            * dl2 / (dl2 + 0.5))
+        if ccmax_new_b > ccmax_b and ccmax_new > nb_subfr * thres2:
+            ccmax_b = ccmax_new_b
+            ccmax = ccmax_new
+            lag = d
+            cbimax = cbimax_new
+    if lag == -1:
+        return False, 0, 0, [0] * nb_subfr, 0.0
+
+    ltp_corr = ccmax / nb_subfr
+    if fs_khz > 8:
+        # ---- stage 3: full rate around the stage-2 winner ----
+        if fs_khz == 12:
+            lag = (lag * 3 + 1) >> 1
+        else:
+            lag <<= 1
+        lag = min(max(lag, min_lag), max_lag)
+        start_lag = max(lag - 2, min_lag)
+        end_lag = min(lag + 2, max_lag)
+        lag_new = lag
+        cbimax = 0
+        ccmax = -1000.0
+        contour_bias = PE_FLATCONTOUR_BIAS / lag
+        if nb_subfr == 4:
+            nb_cbk3 = NB_CBK_SEARCHS_STAGE3[pe_complexity]
+            lag_cb3 = T.CB_LAGS_STAGE3
+            lag_rng = LAG_RANGE_STAGE3[pe_complexity]
+        else:
+            nb_cbk3 = T.PE_NB_CBKS_STAGE3_10MS
+            lag_cb3 = T.CB_LAGS_STAGE3_10MS
+            lag_rng = LAG_RANGE_STAGE3_10MS
+        t0f = 20 * fs_khz
+        energy_tmp = float(np.dot(frame[t0f:t0f + nb_subfr * sf_length],
+                                  frame[t0f:t0f + nb_subfr * sf_length])) \
+            + 1.0
+        # per-subframe correlations/energies over the full contour span
+        cc3 = {}
+        en3 = {}
+        for k in range(nb_subfr):
+            tk = frame[t0f + k * sf_length:t0f + (k + 1) * sf_length]
+            lo, hi = lag_rng[k][0], lag_rng[k][1]
+            for off in range(lo, hi + PE_NB_STAGE3_LAGS):
+                b0 = t0f + k * sf_length - (start_lag + off)
+                basis = frame[b0:b0 + sf_length]
+                cc3[(k, off)] = float(np.dot(tk, basis))
+                en3[(k, off)] = float(np.dot(basis, basis)) + 1e-3
+        for m, d in enumerate(range(start_lag, end_lag + 1)):
+            for j in range(nb_cbk3):
+                cc = 0.0
+                en = energy_tmp
+                for k in range(nb_subfr):
+                    off = lag_cb3[k][j] + m
+                    cc += cc3[(k, off)]
+                    en += en3[(k, off)]
+                if cc > 0.0:
+                    ccmax_new = float(f32(2 * cc / en))
+                    ccmax_new *= 1.0 - contour_bias * j
+                else:
+                    ccmax_new = 0.0
+                if ccmax_new > ccmax and d + T.CB_LAGS_STAGE3[0][j] <= max_lag:
+                    ccmax = ccmax_new
+                    lag_new = d
+                    cbimax = j
+        pitch_out = [min(max(lag_new + lag_cb3[k][cbimax], min_lag),
+                         18 * fs_khz) for k in range(nb_subfr)]
+        return True, lag_new - min_lag, cbimax, pitch_out, ltp_corr
+    else:
+        pitch_out = [min(max(lag + lag_cb[k][cbimax], min8), 18 * 8)
+                     for k in range(nb_subfr)]
+        return True, lag - min8, cbimax, pitch_out, ltp_corr
 
 
 def find_ltp(res, pitch_l, subfr_length, nb_subfr, frame_start):

@@ -567,15 +567,53 @@ class SilkEncoderChannel(ChannelState):
             self.pitch_lag_low_bits_icdf = TD.UNIFORM4_ICDF
         self.pitch_lpc_win_length = (FIND_PITCH_LPC_WIN_MS if self.nb_subfr == 4
                                      else FIND_PITCH_LPC_WIN_MS_2_SF) * fs_khz
-        # complexity >= 6 settings (reference: silk_setup_complexity)
-        self.pitch_estimation_lpc_order = min(16 if complexity >= 8 else 12,
+        # complexity mapping (reference: silk_setup_complexity
+        # silk/control_codec.c:307): (shaping order, nStates, survivors,
+        # warping on); pitch settings follow the >=6 rows used elsewhere.
+        if complexity < 1:
+            pe_order, pe_thr, pe_cplx = 6, 0.8, 0
+        elif complexity < 2:
+            pe_order, pe_thr, pe_cplx = 8, 0.76, 1
+        elif complexity < 3:
+            pe_order, pe_thr, pe_cplx = 6, 0.8, 0
+        elif complexity < 4:
+            pe_order, pe_thr, pe_cplx = 8, 0.76, 1
+        elif complexity < 6:
+            pe_order, pe_thr, pe_cplx = 10, 0.74, 1
+        elif complexity < 8:
+            pe_order, pe_thr, pe_cplx = 12, 0.72, 1
+        else:
+            pe_order, pe_thr, pe_cplx = 16, 0.7, 2
+        self.pitch_estimation_lpc_order = min(pe_order,
                                               self.predict_lpc_order)
-        self.pitch_estimation_threshold = (0.7 if complexity >= 8 else 0.72)
-        self.shaping_lpc_order = 24 if complexity >= 8 else 20
-        self.n_states_delayed_decision = 1  # single-state NSQ
+        self.pitch_estimation_threshold = pe_thr
+        self.pitch_estimation_complexity = pe_cplx
+        if complexity < 2:
+            self.shaping_lpc_order = 12 if complexity < 1 else 14
+            self.n_states_delayed_decision = 1
+            self.nlsf_msvq_survivors = 2 if complexity < 1 else 3
+            self.warping_q16 = 0
+        elif complexity < 4:
+            self.shaping_lpc_order = 12 if complexity < 3 else 14
+            self.n_states_delayed_decision = 2
+            self.nlsf_msvq_survivors = 2 if complexity < 3 else 4
+            self.warping_q16 = 0
+        elif complexity < 6:
+            self.shaping_lpc_order = 16
+            self.n_states_delayed_decision = 2
+            self.nlsf_msvq_survivors = 6
+            self.warping_q16 = fs_khz * SILK_FIX_CONST(0.015, 16)
+        elif complexity < 8:
+            self.shaping_lpc_order = 20
+            self.n_states_delayed_decision = 3
+            self.nlsf_msvq_survivors = 8
+            self.warping_q16 = fs_khz * SILK_FIX_CONST(0.015, 16)
+        else:
+            self.shaping_lpc_order = 24
+            self.n_states_delayed_decision = 4
+            self.nlsf_msvq_survivors = 16
+            self.warping_q16 = fs_khz * SILK_FIX_CONST(0.015, 16)
         self.use_interpolated_nlsfs = 1
-        self.nlsf_msvq_survivors = 16 if complexity >= 8 else 8
-        self.warping_q16 = fs_khz * SILK_FIX_CONST(0.015, 16)
         self.complexity = complexity
         if self.resampler_enc is None:
             self.resampler_enc = Resampler(api_fs_hz, fs_khz * 1000,
@@ -644,15 +682,17 @@ class SilkEncoderChannel(ChannelState):
         pitch_l = [0] * self.nb_subfr
         if self.indices.signalType != TYPE_NO_VOICE_ACTIVITY \
                 and not self.first_frame_after_reset:
-            thr = self.pitch_estimation_threshold
+            # final-stage threshold (reference: find_pitch_lags_FLP.c:103)
+            thr = 0.6
             thr -= 0.004 * self.pitch_estimation_lpc_order
             thr -= 0.1 * self.speech_activity_q8 / 256.0
             thr -= 0.15 * (self.prevSignalType >> 1)
             thr -= 0.1 * self.input_tilt_q15 / 32768.0
             voiced, lag_index, contour_index, pitch_l, ltp_corr = \
                 FA.pitch_analysis(res_pitch, self.fs_kHz, self.nb_subfr,
-                                  self.subfr_length, self.ltp_mem_length,
-                                  self.la_pitch, thr, self.prev_lag)
+                                  self.pitch_estimation_threshold, thr,
+                                  self.pitch_estimation_complexity,
+                                  self.prev_lag, self.ltp_corr)
             self.ltp_corr = ltp_corr
             if voiced:
                 self.indices.signalType = TYPE_VOICED
@@ -1127,9 +1167,19 @@ class SilkEncoderChannel(ChannelState):
         ltp_scale_q14 = ctrl.get("LTP_scale_Q14", 0) \
             if self.indices.signalType == TYPE_VOICED else 0
         x16 = [SAT16(int(round(v))) for v in inp16]
-        silk_nsq(self, self.nsq, self.indices, x16, pulses, pred_coef_q12,
-                 ltp_coef_q14, ar_q13, hsg_q14, tilt_q14, lf_shp_q14,
-                 gains_q16, pitch_l, lambda_q10, ltp_scale_q14)
+        if self.n_states_delayed_decision > 1 or self.warping_q16 > 0:
+            # the reference default at complexity >= 2
+            # (reference: silk_NSQ_wrapper_FLP wrappers_FLP.c:96)
+            from .nsq_del_dec import silk_nsq_del_dec
+            silk_nsq_del_dec(self, self.nsq, self.indices, x16, pulses,
+                             pred_coef_q12, ltp_coef_q14, ar_q13, hsg_q14,
+                             tilt_q14, lf_shp_q14, gains_q16, pitch_l,
+                             lambda_q10, ltp_scale_q14)
+        else:
+            silk_nsq(self, self.nsq, self.indices, x16, pulses,
+                     pred_coef_q12, ltp_coef_q14, ar_q13, hsg_q14, tilt_q14,
+                     lf_shp_q14, gains_q16, pitch_l, lambda_q10,
+                     ltp_scale_q14)
 
 
 def _warped_true2monic(coefs, lam, limit, order):

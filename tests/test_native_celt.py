@@ -74,11 +74,13 @@ def _compare(frames, ch, N, n=40):
         pcm = np.zeros(N * ch)
         c.decode_with_ec(f, pcm, N, make_range_decoder(f))
         c._synthesis = orig
-        X, E, outs, rets = nb.decode([f])
+        X, E, pf, flags, rets = nb.decode([f])
         assert rets[0] == 0, (i, rets[0])
         assert nb.states[0].rng == c.rng, f"rng mismatch frame {i}"
-        assert np.abs(X[0] - capt['X'][:ch * N]).max() < 1e-9, i
-        assert np.abs(E[0] - capt['E']).max() < 1e-12, i
+        assert np.abs(X[0] - capt['X'][:ch * N].astype(np.float32)).max() \
+            < 1e-6, i
+        assert np.array_equal(
+            E[0], capt['E'][:ch * nb.nb].astype(np.float32)), i
         # postfilter params must mirror the scalar decoder state
         assert nb.states[0].postfilter_period == c.postfilter_period
         assert nb.states[0].postfilter_gain == c.postfilter_gain
@@ -108,11 +110,13 @@ def test_native_symbols_batch_threads(tmp_path):
     b1 = CeltSymbolBatch(8, 1, 48000, 960, nthreads=1)
     b4 = CeltSymbolBatch(8, 1, 48000, 960, nthreads=4)
     for _ in range(3):  # several frames so state carries
-        X1, E1, o1, r1 = b1.decode(frames)
-        X4, E4, o4, r4 = b4.decode(frames)
+        X1, E1, p1, f1, r1 = b1.decode(frames)
+        X4, E4, p4, f4, r4 = b4.decode(frames)
         assert np.array_equal(X1, X4)
         assert np.array_equal(E1, E4)
-        assert all(a.rng == b.rng for a, b in zip(o1, o4))
+        assert np.array_equal(p1, p4) and np.array_equal(f1, f4)
+        assert all(a.rng == b.rng
+                   for a, b in zip(b1.states, b4.states))
 
 
 def test_native_symbols_garbage_robust(tmp_path):
@@ -125,5 +129,5 @@ def test_native_symbols_garbage_robust(tmp_path):
     for _ in range(25):
         frames = [bytes(rng.integers(0, 256, int(rng.integers(2, 200)),
                                      dtype=np.uint8)) for _ in range(4)]
-        X, E, outs, rets = nb.decode(frames)
+        X, E, pf, flags, rets = nb.decode(frames)
         assert np.all(np.isfinite(X))

@@ -124,3 +124,12 @@ if [ ! -f "$REPO/.ref_build_qext/qext_compare" ]; then
     gcc -O2 -o "$REPO/.ref_build_qext/qext_compare" \
         "$REF/src/qext_compare.c" -I"$REF/celt" -lm
 fi
+
+# NSQ oracle (silk_NSQ_c / silk_NSQ_del_dec_c with caller-driven state)
+gcc -O2 -fPIC -shared -DVAR_ARRAYS \
+    -I"$BUILD/oracle_inc" -I"$REF/include" -I"$REF/celt" -I"$REF/silk" \
+    -I"$REF/silk/fixed" -I"$REF/src" \
+    "$REPO/tools/nsq_oracle_shim.c" \
+    -o "$BUILD/libnsq_oracle.so" \
+    -L"$REPO/.ref_build_pic" -Wl,--whole-archive "$REPO/.ref_build_pic/libopus.a" \
+    -Wl,--no-whole-archive -lm
