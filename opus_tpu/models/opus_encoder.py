@@ -340,20 +340,84 @@ class OpusEncoder:
             raise ValueError("pcm length mismatch")
         ms = 1000 * frame_size // self.fs
         if frame_size * 400 not in (self.fs * 1, self.fs * 2, self.fs * 4,
-                                    self.fs * 8, self.fs * 16, self.fs * 24):
+                                    self.fs * 8, self.fs * 16, self.fs * 24,
+                                    self.fs * 32, self.fs * 40,
+                                    self.fs * 48):
             raise ValueError(f"unsupported frame size {frame_size}")
-        if ms > 20 and self.user_forced_mode != MODE_CELT_ONLY:
-            # 40/60 ms: SILK-only multiframe packets
-            return self._encode_long(pcm, frame_size, max_data_bytes)
-        return self._encode_frame(pcm, frame_size, max_data_bytes)
+        if ms <= 20:
+            return self._encode_frame(pcm, frame_size, max_data_bytes)
+        silk_mode = self._long_frame_mode_is_silk(frame_size,
+                                                  max_data_bytes)
+        if ms <= 60 and silk_mode:
+            # 40/60 ms SILK-only: one code-0 packet, SILK's internal
+            # multiframe support carries 2-3 20 ms frames
+            return self._encode_frame(pcm, frame_size, max_data_bytes,
+                                      force_silk=True)
+        return self._encode_split(pcm, frame_size, max_data_bytes,
+                                  silk_mode)
 
-    def _encode_long(self, pcm, frame_size, max_data_bytes):
-        """40/60 ms frames: force SILK-only (CELT max frame is 20 ms).
-        Single code-0 packet via SILK's internal multiframe support."""
-        self.user_forced_mode_saved = self.user_forced_mode
-        # encode as SILK-only single packet with n internal 20 ms frames
-        return self._encode_frame(pcm, frame_size, max_data_bytes,
-                                  force_silk=True)
+    def _long_frame_mode_is_silk(self, frame_size, max_data_bytes) -> bool:
+        """Whether a >20 ms frame will be coded as SILK (reference: the
+        st->mode decision feeding frame_size_select and the split loop,
+        src/opus_encoder.c:1692-1724)."""
+        if self.application == "restricted-lowdelay" \
+                or self.user_forced_mode == MODE_CELT_ONLY:
+            return False
+        if self.user_forced_mode == MODE_SILK_ONLY:
+            return True
+        bitrate = self.bitrate or self._default_bitrate(frame_size)
+        # rough equivalent of the threshold machine: long frames are
+        # only useful at low rates, where SILK wins for speech apps
+        return bitrate <= (36000 if self.application == "voip" else 28000)
+
+    def _encode_split(self, pcm, frame_size, max_data_bytes, silk_mode):
+        """Split a long frame into 20-60 ms pieces and merge them into one
+        code-2/3 packet via the repacketizer (reference: the split loop
+        src/opus_encoder.c:1699-1840)."""
+        from ..bitstream.repacketizer import Repacketizer
+        fs = self.fs
+        ch = self.channels
+        if silk_mode:
+            if frame_size == 2 * fs // 25:       # 80 ms -> 2x 40 ms
+                enc_frame = fs // 25
+            elif frame_size == 3 * fs // 25:     # 120 ms -> 2x 60 ms
+                enc_frame = 3 * fs // 50
+            else:                                # 100 ms -> 5x 20 ms
+                enc_frame = fs // 50
+        else:
+            enc_frame = fs // 50
+        nb = frame_size // enc_frame
+        max_header = 3 if nb == 2 else 2 + (nb - 1) * 2
+        bitrate = self.bitrate or self._default_bitrate(frame_size)
+        if self.vbr:
+            repacketize_len = max_data_bytes
+        else:
+            cbr_bytes = bitrate * frame_size // (8 * fs)
+            repacketize_len = min(cbr_bytes, max_data_bytes)
+        max_len_sum = nb + repacketize_len - max_header
+        rp = Repacketizer()
+        # DTX inside a multiframe packet needs TOC-only subframes the
+        # scalar API does not emit; hold DTX off for the pieces
+        dtx_bak = self.use_dtx
+        self.use_dtx = False
+        try:
+            tot = 0
+            for i in range(nb):
+                curr_max = min(bitrate * enc_frame // (8 * fs),
+                               max_len_sum // nb, max_len_sum - tot)
+                p = self._encode_frame(
+                    pcm[i * ch * enc_frame:(i + 1) * ch * enc_frame],
+                    enc_frame, max(curr_max, 2),
+                    force_silk=silk_mode)
+                if rp.cat(p) < 0:
+                    raise RuntimeError("repacketizer rejected subframe")
+                tot += len(p)
+        finally:
+            self.use_dtx = dtx_bak
+        out = rp.out_range(0, nb, repacketize_len, pad=not self.vbr)
+        if isinstance(out, int):
+            raise RuntimeError(f"repacketize failed ({out})")
+        return bytes(out)
 
     # -- the frame encoder ------------------------------------------------
     def _encode_frame(self, pcm, frame_size, max_data_bytes,
