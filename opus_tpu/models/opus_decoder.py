@@ -162,6 +162,10 @@ class OpusDecoder:
         nb_samples = self.frame_size * parsed.count
         if frame_size is None:
             frame_size = nb_samples
+        elif frame_size < nb_samples:
+            # the reference rejects output buffers smaller than the packet
+            # duration with OPUS_BUFFER_TOO_SMALL (src/opus_decoder.c:836)
+            raise ValueError("buffer too small for packet duration")
         if nb_samples * 25 > self.fs * 3:
             raise ValueError("invalid packet duration")
         return self._decode_frames(data, parsed.frames, frame_size)

@@ -39,6 +39,7 @@ fi
 
 # PIC build of the full library for linking test shims
 if [ ! -f "$REPO/.ref_build_pic/libopus.a" ]; then
+    mkdir -p "$REPO/.ref_build_pic"
     cmake -S "$REF" -B "$REPO/.ref_build_pic" -DCMAKE_BUILD_TYPE=Release \
         -DCMAKE_POSITION_INDEPENDENT_CODE=ON -DOPUS_CUSTOM_MODES=ON \
         -G Ninja > "$REPO/.ref_build_pic/cfg.log" 2>&1 || true
@@ -50,7 +51,7 @@ gcc -O2 -fPIC -shared -DHAVE_CONFIG_H=0 -DVAR_ARRAYS \
     -I"$BUILD/oracle_inc" -I"$REF/include" -I"$REF/celt" -I"$REF/silk" \
     -I"$REF/silk/fixed" -I"$REF/src" \
     "$REPO/tools/silk_oracle_shim.c" "$REPO/tools/silk_oracle_shim2.c" \
-    "$REPO/tools/silk_oracle_shim3.c" \
+    "$REPO/tools/silk_oracle_shim3.c" "$REPO/tools/silk_oracle_shim4.c" \
     -o "$BUILD/libsilk_oracle.so" \
     -L"$REPO/.ref_build_pic" -Wl,--whole-archive "$REPO/.ref_build_pic/libopus.a" \
     -Wl,--no-whole-archive -lm 2>/dev/null
