@@ -44,6 +44,41 @@ def load_entropy():
     return lib
 
 
+def load_silk_sym():
+    """Build/load the native SILK symbol-pass library (entropy.c +
+    silk_dec.c).  Returns None when no compiler is available."""
+    if "silk_sym" in _CACHE:
+        return _CACHE["silk_sym"]
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
+    srcs = [os.path.join(here, "entropy.c"), os.path.join(here, "silk_dec.c")]
+    hdrs = [os.path.join(here, "entropy.h"),
+            os.path.join(here, "silk_tables.h")]
+    out_dir = os.path.join(repo, ".native_build")
+    so = os.path.join(out_dir, "libsilksym.so")
+    try:
+        newest = max(os.path.getmtime(p) for p in srcs + hdrs)
+        if not os.path.exists(so) or os.path.getmtime(so) < newest:
+            os.makedirs(out_dir, exist_ok=True)
+            cc = sysconfig.get_config_var("CC") or "cc"
+            base = cc.split() + ["-O3", "-fPIC", "-shared", "-I", here] \
+                + srcs + ["-o", so, "-lm", "-lpthread"]
+            try:
+                subprocess.run(base + ["-march=native"], check=True,
+                               capture_output=True)
+            except subprocess.SubprocessError:
+                subprocess.run(base, check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+    except (OSError, subprocess.SubprocessError):
+        _CACHE["silk_sym"] = None
+        return None
+    lib.silk_sym_state_size.restype = ctypes.c_int32
+    lib.silk_sym_out_size.restype = ctypes.c_int32
+    lib.silk_decode_symbols.restype = ctypes.c_int32
+    _CACHE["silk_sym"] = lib
+    return lib
+
+
 def load_celt_sym():
     """Build/load the native CELT symbol-pass library (entropy.c +
     celt_dec.c).  Returns None when no compiler is available."""
