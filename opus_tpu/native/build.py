@@ -86,12 +86,14 @@ def load_celt_sym():
         return _CACHE["celt_sym"]
     here = os.path.dirname(os.path.abspath(__file__))
     repo = os.path.dirname(os.path.dirname(here))
-    srcs = [os.path.join(here, "entropy.c"), os.path.join(here, "celt_dec.c")]
-    hdr = os.path.join(here, "entropy.h")
+    # celt_enc.c #includes celt_dec.c: one TU provides both directions
+    srcs = [os.path.join(here, "entropy.c"), os.path.join(here, "celt_enc.c")]
+    deps = [os.path.join(here, "entropy.h"),
+            os.path.join(here, "celt_dec.c")]
     out_dir = os.path.join(repo, ".native_build")
     so = os.path.join(out_dir, "libceltsym.so")
     try:
-        newest = max(os.path.getmtime(p) for p in srcs + [hdr])
+        newest = max(os.path.getmtime(p) for p in srcs + deps)
         if not os.path.exists(so) or os.path.getmtime(so) < newest:
             os.makedirs(out_dir, exist_ok=True)
             cc = sysconfig.get_config_var("CC") or "cc"
@@ -113,5 +115,7 @@ def load_celt_sym():
     lib.celt_sym_out_size.restype = ctypes.c_int32
     lib.celt_work_size.restype = ctypes.c_int32
     lib.celt_decode_symbols.restype = ctypes.c_int32
+    lib.celt_enc_state_size.restype = ctypes.c_int32
+    lib.celt_encode_symbols.restype = ctypes.c_int32
     _CACHE["celt_sym"] = lib
     return lib

@@ -401,7 +401,9 @@ static int interp_bits2pulses(const CeltModeC *m, int start, int end,
                               int skip_rsv, int *intensity,
                               int intensity_rsv, int *dual_stereo,
                               int dual_stereo_rsv, int *bits, int *ebits,
-                              int *fine_priority, int C, int LM, ecdec *ec) {
+                              int *fine_priority, int C, int LM, ecdec *ec,
+                              ecenc *enc, int encode, int prev,
+                              int signal_bandwidth) {
     int alloc_floor = C << BITRES;
     int stereo = C > 1 ? 1 : 0;
     int logM = LM << BITRES;
@@ -455,7 +457,24 @@ static int interp_bits2pulses(const CeltModeC *m, int start, int end,
             int th = thresh[j] > alloc_floor + (1 << BITRES)
                 ? thresh[j] : alloc_floor + (1 << BITRES);
             if (band_bits >= th) {
-                if (ecd_dec_bit_logp(ec, 1)) break;
+                if (encode) {
+                    /* encoder skip decision (celt/rate.c:371-391) */
+                    int depth_threshold;
+                    if (coded_bands > 17)
+                        depth_threshold = j < prev ? 7 : 9;
+                    else
+                        depth_threshold = 0;
+                    if (coded_bands <= start + 2
+                        || (band_bits > ((depth_threshold * band_width
+                                          << LM << BITRES) >> 4)
+                            && j <= signal_bandwidth)) {
+                        ece_enc_bit_logp(enc, 1, 1);
+                        break;
+                    }
+                    ece_enc_bit_logp(enc, 0, 1);
+                } else if (ecd_dec_bit_logp(ec, 1)) {
+                    break;
+                }
                 psum += 1 << BITRES;
                 band_bits -= 1 << BITRES;
             }
@@ -472,18 +491,27 @@ static int interp_bits2pulses(const CeltModeC *m, int start, int end,
         }
         coded_bands--;
     }
-    if (intensity_rsv > 0)
-        *intensity = start + (int)ecd_dec_uint(ec, coded_bands + 1 - start);
-    else
+    if (intensity_rsv > 0) {
+        if (encode) {
+            if (*intensity > coded_bands) *intensity = coded_bands;
+            ece_enc_uint(enc, *intensity - start, coded_bands + 1 - start);
+        } else {
+            *intensity = start + (int)ecd_dec_uint(ec,
+                                                   coded_bands + 1 - start);
+        }
+    } else {
         *intensity = 0;
+    }
     if (*intensity <= start) {
         total += dual_stereo_rsv;
         dual_stereo_rsv = 0;
     }
-    if (dual_stereo_rsv > 0)
-        *dual_stereo = ecd_dec_bit_logp(ec, 1);
-    else
+    if (dual_stereo_rsv > 0) {
+        if (encode) ece_enc_bit_logp(enc, *dual_stereo, 1);
+        else *dual_stereo = ecd_dec_bit_logp(ec, 1);
+    } else {
         *dual_stereo = 0;
+    }
 
     left = total - psum;
     percoeff = left / (eBands[coded_bands] - eBands[start]);
@@ -558,7 +586,8 @@ static int compute_allocation(const CeltModeC *m, int start, int end,
                               int alloc_trim, int *intensity,
                               int *dual_stereo, int total, int *balance,
                               int *pulses, int *ebits, int *fine_priority,
-                              int C, int LM, ecdec *ec) {
+                              int C, int LM, ecdec *ec, ecenc *enc,
+                              int encode, int prev, int signal_bandwidth) {
     const int16_t *eBands = m->eBands;
     int skip_start = start;
     int skip_rsv, intensity_rsv = 0, dual_stereo_rsv = 0;
@@ -640,7 +669,8 @@ static int compute_allocation(const CeltModeC *m, int start, int end,
                               thresh, cap, total, balance, skip_rsv,
                               intensity, intensity_rsv, dual_stereo,
                               dual_stereo_rsv, pulses, ebits, fine_priority,
-                              C, LM, ec);
+                              C, LM, ec, enc, encode, prev,
+                              signal_bandwidth);
 }
 
 /* ------------------------------------------------------------------ */
@@ -1652,7 +1682,8 @@ int celt_decode_symbols(const void *mode, symstate *st,
     coded_bands = compute_allocation(m, start, end, offsets, cap,
                                      alloc_trim, &intensity, &dual_stereo,
                                      bits, &balance, pulses, fine_quant,
-                                     fine_priority, C, LM, &dec);
+                                     fine_priority, C, LM, &dec, NULL, 0,
+                                     0, 0);
 
     unquant_fine_energy(m, start, end, oldBandE, fine_quant, &dec, C);
 

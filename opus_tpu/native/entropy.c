@@ -155,3 +155,187 @@ uint32_t ecd_dec_uint(ecdec *d, uint32_t ft) {
         return s;
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* Range encoder (RFC 6716 section 4.1; mirrors RangeEncoder in       */
+/* opus_tpu/bitstream/range_coder.py, itself bit-exact with the       */
+/* reference celt/entenc.c).                                          */
+
+static int ece_write_byte(ecenc *e, uint32_t value) {
+    if (e->offs + e->end_offs >= e->storage) return -1;
+    e->buf[e->offs++] = (unsigned char)(value & 0xFF);
+    return 0;
+}
+
+static int ece_write_byte_at_end(ecenc *e, uint32_t value) {
+    if (e->offs + e->end_offs >= e->storage) return -1;
+    e->end_offs++;
+    e->buf[e->storage - e->end_offs] = (unsigned char)(value & 0xFF);
+    return 0;
+}
+
+static void ece_carry_out(ecenc *e, int c) {
+    if ((uint32_t)c != SYM_MAX) {
+        int carry = c >> SYM_BITS;
+        if (e->rem >= 0) e->error |= ece_write_byte(e, e->rem + carry);
+        if (e->ext > 0) {
+            uint32_t sym = (SYM_MAX + carry) & SYM_MAX;
+            while (e->ext > 0) {
+                e->error |= ece_write_byte(e, sym);
+                e->ext--;
+            }
+        }
+        e->rem = c & SYM_MAX;
+    } else {
+        e->ext++;
+    }
+}
+
+static void ece_normalize(ecenc *e) {
+    while (e->rng <= CODE_BOT) {
+        ece_carry_out(e, (int)(e->val >> (CODE_BITS - SYM_BITS - 1)));
+        e->val = (e->val << SYM_BITS) & (CODE_TOP - 1);
+        e->rng <<= SYM_BITS;
+        e->nbits_total += SYM_BITS;
+    }
+}
+
+void ece_init(ecenc *e, unsigned char *buf, int32_t size) {
+    e->buf = buf;
+    e->storage = size;
+    e->end_offs = 0;
+    e->end_window = 0;
+    e->nend_bits = 0;
+    e->nbits_total = CODE_BITS + 1;
+    e->offs = 0;
+    e->rng = CODE_TOP;
+    e->rem = -1;
+    e->val = 0;
+    e->ext = 0;
+    e->error = 0;
+}
+
+void ece_encode(ecenc *e, uint32_t fl, uint32_t fh, uint32_t ft) {
+    uint32_t r = e->rng / ft;
+    if (fl > 0) {
+        e->val += e->rng - r * (ft - fl);
+        e->rng = r * (fh - fl);
+    } else {
+        e->rng -= r * (ft - fh);
+    }
+    ece_normalize(e);
+}
+
+void ece_encode_bin(ecenc *e, uint32_t fl, uint32_t fh, int32_t bits) {
+    uint32_t r = e->rng >> bits;
+    uint32_t total = 1u << bits;
+    if (fl > 0) {
+        e->val += e->rng - r * (total - fl);
+        e->rng = r * (fh - fl);
+    } else {
+        e->rng -= r * (total - fh);
+    }
+    ece_normalize(e);
+}
+
+void ece_enc_bit_logp(ecenc *e, int32_t val, int32_t logp) {
+    uint32_t r = e->rng;
+    uint32_t s = r >> logp;
+    r -= s;
+    if (val) e->val += r;
+    e->rng = val ? s : r;
+    ece_normalize(e);
+}
+
+void ece_enc_icdf(ecenc *e, int32_t s, const unsigned char *icdf,
+                  int32_t ftb) {
+    uint32_t r = e->rng >> ftb;
+    if (s > 0) {
+        e->val += e->rng - r * icdf[s - 1];
+        e->rng = r * (uint32_t)(icdf[s - 1] - icdf[s]);
+    } else {
+        e->rng -= r * icdf[s];
+    }
+    ece_normalize(e);
+}
+
+void ece_enc_bits(ecenc *e, uint32_t fl, int32_t bits) {
+    uint32_t window = e->end_window;
+    int32_t used = e->nend_bits;
+    if (used + bits > WINDOW_SIZE) {
+        while (used >= SYM_BITS) {
+            e->error |= ece_write_byte_at_end(e, window & SYM_MAX);
+            window >>= SYM_BITS;
+            used -= SYM_BITS;
+        }
+    }
+    window |= fl << used;
+    used += bits;
+    e->end_window = window;
+    e->nend_bits = used;
+    e->nbits_total += bits;
+}
+
+void ece_enc_uint(ecenc *e, uint32_t fl, uint32_t ft) {
+    int32_t ftb;
+    ft--;
+    ftb = ec_ilog(ft);
+    if (ftb > UINT_BITS) {
+        ftb -= UINT_BITS;
+        ece_encode(e, fl >> ftb, (fl >> ftb) + 1, (ft >> ftb) + 1);
+        ece_enc_bits(e, fl & ((1u << ftb) - 1), ftb);
+    } else {
+        ece_encode(e, fl, fl + 1, ft + 1);
+    }
+}
+
+void ece_shrink(ecenc *e, int32_t size) {
+    /* move the raw-bit tail so it abuts the new, smaller storage end */
+    int32_t i;
+    for (i = 0; i < e->end_offs; i++)
+        e->buf[size - e->end_offs + i] = e->buf[e->storage - e->end_offs + i];
+    e->storage = size;
+}
+
+void ece_done(ecenc *e) {
+    int32_t l = CODE_BITS - ec_ilog(e->rng);
+    uint32_t msk = (CODE_TOP - 1) >> l;
+    uint32_t end = (e->val + msk) & ~msk;
+    uint32_t window;
+    int32_t used;
+    if ((end | msk) >= e->val + e->rng) {
+        l++;
+        msk >>= 1;
+        end = (e->val + msk) & ~msk;
+    }
+    while (l > 0) {
+        ece_carry_out(e, (int)(end >> (CODE_BITS - SYM_BITS - 1)));
+        end = (end << SYM_BITS) & (CODE_TOP - 1);
+        l -= SYM_BITS;
+    }
+    if (e->rem >= 0 || e->ext > 0) ece_carry_out(e, 0);
+    window = e->end_window;
+    used = e->nend_bits;
+    while (used >= SYM_BITS) {
+        e->error |= ece_write_byte_at_end(e, window & SYM_MAX);
+        window >>= SYM_BITS;
+        used -= SYM_BITS;
+    }
+    if (!e->error) {
+        int32_t i;
+        for (i = e->offs; i < e->storage - e->end_offs; i++) e->buf[i] = 0;
+        if (used > 0) {
+            if (e->end_offs >= e->storage) {
+                e->error = -1;
+            } else {
+                l = -l;
+                if (e->offs + e->end_offs >= e->storage && l < used) {
+                    window &= (1u << l) - 1;
+                    e->error = -1;
+                }
+                e->buf[e->storage - e->end_offs - 1] |=
+                    (unsigned char)(window & 0xFF);
+            }
+        }
+    }
+}
