@@ -117,7 +117,10 @@ def encode_dsp(pcm, state: EncState, *, fs: int = 48000,
 
     x_l, ble_l = bands(freq_l)
     x_s, ble_s = bands(freq_s)
-    return x_l, x_s, ble_l, ble_s, EncState(mem=new_mem, hist=new_hist)
+    # pack into one array: a tunneled TPU pays high per-transfer latency,
+    # so ship one [B, 2N+2nbE] tensor instead of four
+    packed = jnp.concatenate([x_l, x_s, ble_l, ble_s], axis=1)
+    return packed, EncState(mem=new_mem, hist=new_hist)
 
 
 class BatchedCeltEncoder:
@@ -139,16 +142,26 @@ class BatchedCeltEncoder:
         self.lm = self.sym.lm
         self.state = init_state(batch, self.sym.mode.overlap)
 
-    def encode(self, pcm: np.ndarray):
-        """pcm [B, N] float in [-1, 1] -> (payloads list[bytes],
-        final ranges [B] u32)."""
-        x_l, x_s, ble_l, ble_s, self.state = encode_dsp(
+    def dsp(self, pcm: np.ndarray):
+        """Run the device DSP stage only; returns the packed device array
+        (lets callers overlap the transfer with host work)."""
+        packed, self.state = encode_dsp(
             jnp.asarray(pcm, jnp.float32), self.state,
             fs=self.fs, frame_size=self.N, lm=self.lm)
+        return packed
+
+    def symbols(self, pcm: np.ndarray, packed):
+        """Host C symbol pass from the packed device DSP output."""
+        n, nb = self.N, self.sym.nb
+        host = np.asarray(packed, np.float64)
         pays, rngs, rets = self.sym.encode(
-            np.asarray(pcm, np.float64), np.asarray(x_l, np.float64),
-            np.asarray(x_s, np.float64), np.asarray(ble_l, np.float64),
-            np.asarray(ble_s, np.float64))
+            np.asarray(pcm, np.float64), host[:, :n], host[:, n:2 * n],
+            host[:, 2 * n:2 * n + nb], host[:, 2 * n + nb:])
         if np.any(rets < 0):
             raise RuntimeError(f"symbol encode failed: {rets}")
         return pays, rngs
+
+    def encode(self, pcm: np.ndarray):
+        """pcm [B, N] float in [-1, 1] -> (payloads list[bytes],
+        final ranges [B] u32)."""
+        return self.symbols(pcm, self.dsp(pcm))

@@ -69,6 +69,30 @@ def _tdac(core: jax.Array, tail: jax.Array, overlap: int):
 
 
 @partial(jax.jit, static_argnames=("fs", "frame_size", "lm", "channels"))
+def decode_step_packed(packed, state: DecState, *, fs: int = 48000,
+                       frame_size: int = 960, lm: int = 3,
+                       channels: int = 1):
+    """Unpack one fused [B, C*N + C*nb + 14] f32 input tensor (a tunneled
+    TPU pays high per-transfer latency, so the host ships one array) and
+    run decode_step."""
+    mode = mode_create(fs, frame_size)
+    n = frame_size
+    nb = mode.nbEBands
+    c = channels
+    b = packed.shape[0]
+    x = packed[:, :c * n].reshape(b, c, n)
+    e = packed[:, c * n:c * n + c * nb].reshape(b, c, nb)
+    o = c * n + c * nb
+    periods = packed[:, o:o + 3].astype(jnp.int32)
+    tgains = packed[:, o + 3:o + 12].reshape(b, 3, 3)
+    transient = packed[:, o + 12] != 0
+    silence = packed[:, o + 13] != 0
+    return decode_step(x, e, transient, silence, periods, tgains, state,
+                       fs=fs, frame_size=frame_size, lm=lm,
+                       channels=channels)
+
+
+@partial(jax.jit, static_argnames=("fs", "frame_size", "lm", "channels"))
 def decode_step(x, band_log_e, transient, silence, periods, tap_gains,
                 state: DecState, *, fs: int = 48000, frame_size: int = 960,
                 lm: int = 3, channels: int = 1):
@@ -217,22 +241,23 @@ class BatchedCeltDecoder:
         self.state = init_state(batch * channels, mode.overlap)
         self._comb = np.asarray(COMB_GAINS, np.float32)
 
-    def decode(self, frames: list[bytes]) -> np.ndarray:
-        """Decode one frame per stream -> float PCM [B, C, N] in [-1, 1]."""
+    def pack(self, frames: list[bytes]) -> np.ndarray:
+        """Host C symbol pass -> one fused f32 tensor for the device."""
         X, E, pf, flags, rets = self.sym.decode(frames)
         if np.any(rets != 0):
             raise RuntimeError(f"symbol decode failed: {rets}")
-        b, c, n, nb = self.batch, self.C, self.N, self.nb
-        periods = np.maximum(pf[:, :3].astype(np.int32),
-                             COMBFILTER_MINPERIOD)
-        # per-phase tap gains: gain * COMB_GAINS[tapset]  -> [B, 3, 3]
+        b = self.batch
+        periods = np.maximum(pf[:, :3], COMBFILTER_MINPERIOD)
         tgains = (pf[:, 3:6, None]
-                  * self._comb[flags[:, 5:8]]).astype(np.float32)
-        pcm, self.state = decode_step(
-            jnp.asarray(X.reshape(b, c, n)),
-            jnp.asarray(E.reshape(b, c, nb)),
-            jnp.asarray(flags[:, 1] != 0), jnp.asarray(flags[:, 0] != 0),
-            jnp.asarray(periods), jnp.asarray(tgains),
-            self.state, fs=self.fs, frame_size=self.N, lm=self.lm,
-            channels=c)
+                  * self._comb[flags[:, 5:8]]).reshape(b, 9)
+        packed = np.concatenate(
+            [X, E, periods, tgains, flags[:, 1:2], flags[:, 0:1]],
+            axis=1, dtype=np.float32)
+        return packed
+
+    def decode(self, frames: list[bytes]) -> np.ndarray:
+        """Decode one frame per stream -> float PCM [B, C, N] in [-1, 1]."""
+        pcm, self.state = decode_step_packed(
+            jnp.asarray(self.pack(frames)), self.state, fs=self.fs,
+            frame_size=self.N, lm=self.lm, channels=self.C)
         return pcm
