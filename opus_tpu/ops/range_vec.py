@@ -7,6 +7,11 @@ batch of int32/uint32 vector ops, under an `active` mask so callers can
 express data-dependent control flow (different streams decoding
 different symbol sequences) as masked straight-line code inside one jit.
 
+The packet buffer (read-only) and the encoder's output buffers are kept
+OUT of the per-op state: masked ops select only the [B] scalars, and
+buffer writes are masked scatters — so the state threads cheaply through
+`lax.scan` loops and the graphs stay small.
+
 Semantics are bit-exact with opus_tpu/bitstream/range_coder.py (itself
 bit-exact with celt/entdec.c + entenc.c); tests/test_range_vec.py fuzzes
 every op against the Python coder.
@@ -15,7 +20,7 @@ Encoder carry handling: the sequential coder's rem/ext machinery is
 equivalent to base-256 carry propagation over the raw carry_out digits,
 so the vectorized encoder appends 9-bit digits to a per-stream buffer
 and resolves all carries at finalization with one associative scan
-(renders the byte stream exactly; see rc_enc_finalize)."""
+(renders the byte stream exactly; see re_finalize)."""
 
 from __future__ import annotations
 
@@ -64,8 +69,8 @@ def _tree_sel(mask, new, old):
 # ===================================================================== #
 
 class RD(NamedTuple):
-    buf: jax.Array          # [B, S] int32 byte values
-    storage: jax.Array      # [B] i32
+    """Per-stream decoder scalars; the packet bytes live outside (passed
+    as `buf` [B, S] int32 + `storage` [B] to ops that refill)."""
     offs: jax.Array         # [B] i32
     end_offs: jax.Array     # [B] i32
     end_window: jax.Array   # [B] u32
@@ -78,36 +83,36 @@ class RD(NamedTuple):
     error: jax.Array        # [B] i32
 
 
-def _read_byte(d: RD):
-    idx = jnp.clip(d.offs, 0, d.buf.shape[1] - 1)
-    b = jnp.take_along_axis(d.buf, idx[:, None], axis=1)[:, 0]
-    ok = d.offs < d.storage
-    return _sel(ok, b, 0), _sel(ok, d.offs + 1, d.offs)
+def _read_byte(buf, storage, offs):
+    idx = jnp.clip(offs, 0, buf.shape[1] - 1)
+    b = jnp.take_along_axis(buf, idx[:, None], axis=1)[:, 0]
+    ok = offs < storage
+    return _sel(ok, b, 0), _sel(ok, offs + 1, offs)
 
 
-def _read_byte_from_end(d: RD):
-    idx = jnp.clip(d.storage - d.end_offs - 1, 0, d.buf.shape[1] - 1)
-    b = jnp.take_along_axis(d.buf, idx[:, None], axis=1)[:, 0]
-    ok = d.end_offs < d.storage
-    return _sel(ok, b, 0), _sel(ok, d.end_offs + 1, d.end_offs)
+def _read_byte_from_end(buf, storage, end_offs):
+    idx = jnp.clip(storage - end_offs - 1, 0, buf.shape[1] - 1)
+    b = jnp.take_along_axis(buf, idx[:, None], axis=1)[:, 0]
+    ok = end_offs < storage
+    return _sel(ok, b, 0), _sel(ok, end_offs + 1, end_offs)
 
 
-def _rd_normalize(d: RD) -> RD:
+def _rd_normalize(d: RD, buf, storage) -> RD:
     # rng grows >= 8 bits per iteration and a symbol consumes < 24 bits,
     # so 3 masked iterations always suffice
     for _ in range(3):
         need = d.rng <= u32(CODE_BOT)
-        byte, offs = _read_byte(d)
+        byte, offs = _read_byte(buf, storage, d.offs)
         sym = ((d.rem << SYM_BITS) | byte) >> (SYM_BITS - CODE_EXTRA)
         val = ((d.val << SYM_BITS)
                + (u32(SYM_MAX) & ~sym.astype(u32))) & u32(CODE_TOP - 1)
-        d = RD(d.buf, d.storage,
-               _sel(need, offs, d.offs), d.end_offs, d.end_window,
-               d.nend_bits,
-               _sel(need, d.nbits_total + SYM_BITS, d.nbits_total),
-               _sel(need, d.rng << SYM_BITS, d.rng),
-               _sel(need, val, d.val), d.ext,
-               _sel(need, byte, d.rem), d.error)
+        d = d._replace(
+            offs=_sel(need, offs, d.offs),
+            nbits_total=_sel(need, d.nbits_total + SYM_BITS,
+                             d.nbits_total),
+            rng=_sel(need, d.rng << SYM_BITS, d.rng),
+            val=_sel(need, val, d.val),
+            rem=_sel(need, byte, d.rem))
     return d
 
 
@@ -115,7 +120,7 @@ def rd_init(buf: jax.Array, storage: jax.Array) -> RD:
     """buf: [B, S] int32 byte values; storage: [B] lengths."""
     b = buf.shape[0]
     z = jnp.zeros((b,), i32)
-    d = RD(buf=buf, storage=storage, offs=z, end_offs=z,
+    d = RD(offs=z, end_offs=z,
            end_window=jnp.zeros((b,), u32), nend_bits=z,
            nbits_total=jnp.full((b,), CODE_BITS + 1
                                 - ((CODE_BITS - CODE_EXTRA) // SYM_BITS)
@@ -123,11 +128,11 @@ def rd_init(buf: jax.Array, storage: jax.Array) -> RD:
            rng=jnp.full((b,), 1 << CODE_EXTRA, u32),
            val=jnp.zeros((b,), u32), ext=jnp.zeros((b,), u32),
            rem=z, error=z)
-    byte, offs = _read_byte(d)
+    byte, offs = _read_byte(buf, storage, d.offs)
     d = d._replace(rem=byte, offs=offs,
                    val=(d.rng - 1 - (byte >> (SYM_BITS - CODE_EXTRA))
                         .astype(u32)))
-    return _rd_normalize(d)
+    return _rd_normalize(d, buf, storage)
 
 
 def rd_decode(d: RD, ft, active=None):
@@ -143,31 +148,31 @@ def rd_decode(d: RD, ft, active=None):
     return fs.astype(i32), new
 
 
-def rd_update(d: RD, fl, fh, ft, active=None):
+def rd_update(d: RD, buf, storage, fl, fh, ft, active=None):
     flu, fhu, ftu = fl.astype(u32), fh.astype(u32), ft.astype(u32)
     s = d.ext * (ftu - fhu)
     val = d.val - s
     rng = _sel(flu > 0, d.ext * (fhu - flu), d.rng - s)
-    new = _rd_normalize(d._replace(val=val, rng=rng))
+    new = _rd_normalize(d._replace(val=val, rng=rng), buf, storage)
     if active is not None:
         new = _tree_sel(active, new, d)
     return new
 
 
-def rd_dec_bit_logp(d: RD, logp: int, active=None):
+def rd_dec_bit_logp(d: RD, buf, storage, logp: int, active=None):
     r = d.rng
     s = r >> logp
     ret = d.val < s
     new = d._replace(val=_sel(ret, d.val, d.val - s),
                      rng=_sel(ret, s, r - s))
-    new = _rd_normalize(new)
+    new = _rd_normalize(new, buf, storage)
     if active is not None:
         new = _tree_sel(active, new, d)
         ret = ret & active
     return ret.astype(i32), new
 
 
-def rd_dec_icdf(d: RD, icdf, ftb: int, active=None):
+def rd_dec_icdf(d: RD, buf, storage, icdf, ftb: int, active=None):
     """icdf: [T] or [B, T] uint/int table (descending).  Vectorized as a
     parallel threshold count instead of the sequential scan."""
     tab = jnp.asarray(icdf).astype(u32)
@@ -184,14 +189,14 @@ def rd_dec_icdf(d: RD, icdf, ftb: int, active=None):
                       s_all, jnp.clip(ret - 1, 0, tab.shape[1] - 1)[:, None],
                       axis=1)[:, 0],
                   d.rng)
-    new = _rd_normalize(d._replace(val=d.val - s, rng=t - s))
+    new = _rd_normalize(d._replace(val=d.val - s, rng=t - s), buf, storage)
     if active is not None:
         new = _tree_sel(active, new, d)
         ret = _sel(active, ret, 0)
     return ret, new
 
 
-def rd_dec_bits(d: RD, bits, active=None):
+def rd_dec_bits(d: RD, buf, storage, bits, active=None):
     """Raw bits from the end window; bits: [B] i32 (0 allowed = no-op)."""
     window = d.end_window
     avail = d.nend_bits
@@ -199,7 +204,7 @@ def rd_dec_bits(d: RD, bits, active=None):
     need0 = avail < bits
     for _ in range(4):
         need = need0 & (avail <= WINDOW_SIZE - SYM_BITS)
-        byte, eo = _read_byte_from_end(d._replace(end_offs=end_offs))
+        byte, eo = _read_byte_from_end(buf, storage, end_offs)
         window = _sel(need,
                       window | (byte.astype(u32) << avail.astype(u32)),
                       window)
@@ -210,7 +215,8 @@ def rd_dec_bits(d: RD, bits, active=None):
     ret = window & mask
     window = _sel(bits >= 32, u32(0), window >> bitsu)
     avail = avail - bits
-    new = d._replace(end_window=window, nend_bits=avail, end_offs=end_offs,
+    new = d._replace(end_window=window, nend_bits=avail,
+                     end_offs=end_offs,
                      nbits_total=d.nbits_total + bits)
     if active is not None:
         new = _tree_sel(active, new, d)
@@ -218,7 +224,7 @@ def rd_dec_bits(d: RD, bits, active=None):
     return ret.astype(i32), new
 
 
-def rd_dec_uint(d: RD, ft, active=None):
+def rd_dec_uint(d: RD, buf, storage, ft, active=None):
     """ft: [B] i32/u32 (> 1).  Handles the >8-bit split per stream."""
     if active is None:
         active = jnp.ones(ft.shape, bool)
@@ -227,14 +233,16 @@ def rd_dec_uint(d: RD, ft, active=None):
     big = ftb > UINT_BITS
     # small path
     fs_small, d1 = rd_decode(d, (ftm + 1).astype(i32), active & ~big)
-    d1 = rd_update(d1, fs_small, fs_small + 1, (ftm + 1).astype(i32),
-                   active & ~big)
+    d1 = rd_update(d1, buf, storage, fs_small, fs_small + 1,
+                   (ftm + 1).astype(i32), active & ~big)
     # big path
     sh = jnp.maximum(ftb - UINT_BITS, 0).astype(u32)
     ftrunc = ((ftm >> sh) + 1).astype(i32)
     fs_big, d2 = rd_decode(d1, ftrunc, active & big)
-    d2 = rd_update(d2, fs_big, fs_big + 1, ftrunc, active & big)
-    lo, d3 = rd_dec_bits(d2, _sel(active & big, sh.astype(i32), 0),
+    d2 = rd_update(d2, buf, storage, fs_big, fs_big + 1, ftrunc,
+                   active & big)
+    lo, d3 = rd_dec_bits(d2, buf, storage,
+                         _sel(active & big, sh.astype(i32), 0),
                          active & big)
     t = ((fs_big.astype(u32) << sh) | lo.astype(u32))
     err = active & big & (t > ftm)
@@ -264,6 +272,9 @@ def rd_tell_frac(d: RD):
 # ===================================================================== #
 
 class RE(NamedTuple):
+    """Per-stream encoder state.  The digit/end buffers are appended to
+    with masked scatters (never tree-selected), so they thread cheaply
+    through scans."""
     digits: jax.Array       # [B, D] i32 raw carry_out digits (9-bit)
     ndigits: jax.Array      # [B] i32
     endbuf: jax.Array       # [B, E] i32 raw-bit bytes (from the end)
@@ -274,6 +285,19 @@ class RE(NamedTuple):
     rng: jax.Array          # [B] u32
     val: jax.Array          # [B] u32
     error: jax.Array        # [B] i32
+
+
+def _re_scalars(e: RE):
+    return (e.ndigits, e.nend, e.end_window, e.nend_bits, e.nbits_total,
+            e.rng, e.val, e.error)
+
+
+def _re_sel(mask, new: RE, old: RE) -> RE:
+    """Select only the scalar fields; buffer writes are already masked."""
+    sc = [jnp.where(mask, n, o) for n, o in zip(_re_scalars(new),
+                                                _re_scalars(old))]
+    return RE(new.digits, sc[0], new.endbuf, sc[1], sc[2], sc[3], sc[4],
+              sc[5], sc[6], sc[7])
 
 
 def re_init(batch: int, nbytes: int) -> RE:
@@ -318,7 +342,7 @@ def re_encode(e: RE, fl, fh, ft, active=None):
     val = _sel(big, e.val + e.rng - r * (ftu - flu), e.val)
     rng = _sel(big, r * (fhu - flu), e.rng - r * (ftu - fhu))
     new = _re_normalize(e._replace(val=val, rng=rng), active)
-    return _tree_sel(active, new, e)
+    return _re_sel(active, new, e)
 
 
 def re_encode_bin(e: RE, fl, fh, bits: int, active=None):
@@ -331,7 +355,7 @@ def re_encode_bin(e: RE, fl, fh, bits: int, active=None):
     val = _sel(big, e.val + e.rng - r * (total - flu), e.val)
     rng = _sel(big, r * (fhu - flu), e.rng - r * (total - fhu))
     new = _re_normalize(e._replace(val=val, rng=rng), active)
-    return _tree_sel(active, new, e)
+    return _re_sel(active, new, e)
 
 
 def re_enc_bit_logp(e: RE, bit, logp: int, active=None):
@@ -344,7 +368,7 @@ def re_enc_bit_logp(e: RE, bit, logp: int, active=None):
     val = _sel(bit, e.val + (r - s), e.val)
     rng = _sel(bit, s, r - s)
     new = _re_normalize(e._replace(val=val, rng=rng), active)
-    return _tree_sel(active, new, e)
+    return _re_sel(active, new, e)
 
 
 def re_enc_icdf(e: RE, s, icdf, ftb: int, active=None):
@@ -352,20 +376,20 @@ def re_enc_icdf(e: RE, s, icdf, ftb: int, active=None):
         active = jnp.ones(e.rng.shape, bool)
     tab = jnp.asarray(icdf).astype(u32)
     if tab.ndim == 1:
-        tab = tab[None, :].repeat(1, axis=0)
+        tab = tab[None, :]
+    bsz = e.rng.shape[0]
+    tabb = jnp.broadcast_to(tab, (bsz, tab.shape[1]))
     si = jnp.clip(s, 0, tab.shape[1] - 1)
-    cur = jnp.take_along_axis(
-        jnp.broadcast_to(tab, (e.rng.shape[0], tab.shape[1])),
-        si[:, None], axis=1)[:, 0]
+    cur = jnp.take_along_axis(tabb, si[:, None], axis=1)[:, 0]
     prev = jnp.take_along_axis(
-        jnp.broadcast_to(tab, (e.rng.shape[0], tab.shape[1])),
-        jnp.clip(si - 1, 0, tab.shape[1] - 1)[:, None], axis=1)[:, 0]
+        tabb, jnp.clip(si - 1, 0, tab.shape[1] - 1)[:, None],
+        axis=1)[:, 0]
     r = e.rng >> ftb
     pos = s > 0
     val = _sel(pos, e.val + e.rng - r * prev, e.val)
     rng = _sel(pos, r * (prev - cur), e.rng - r * cur)
     new = _re_normalize(e._replace(val=val, rng=rng), active)
-    return _tree_sel(active, new, e)
+    return _re_sel(active, new, e)
 
 
 def re_enc_bits(e: RE, fl, bits, active=None):
@@ -377,9 +401,9 @@ def re_enc_bits(e: RE, fl, bits, active=None):
     used = e.nend_bits
     endbuf, nend = e.endbuf, e.nend
     flush = act & (used + bits > WINDOW_SIZE)
+    b = e.endbuf.shape[0]
     for _ in range(4):
         need = flush & (used >= SYM_BITS)
-        b = e.endbuf.shape[0]
         idx = _sel(need, nend, endbuf.shape[1])
         endbuf = endbuf.at[jnp.arange(b), idx].set(
             (window & u32(SYM_MAX)).astype(i32), mode="drop")
@@ -390,7 +414,7 @@ def re_enc_bits(e: RE, fl, bits, active=None):
     used = used + bits
     new = e._replace(endbuf=endbuf, nend=nend, end_window=window,
                      nend_bits=used, nbits_total=e.nbits_total + bits)
-    return _tree_sel(act, new, e)
+    return _re_sel(act, new, e)
 
 
 def re_enc_uint(e: RE, fl, ft, active=None):
@@ -431,7 +455,6 @@ def re_finalize(e: RE, nbytes: int):
     """ec_enc_done: flush the value, resolve digit carries with a scan,
     and assemble the [B, nbytes] byte tensor (range bytes forward, raw
     bits backward).  Returns (bytes u8 [B, nbytes], error [B])."""
-    active = jnp.ones(e.rng.shape, bool)
     l = CODE_BITS - _ilog(e.rng)
     msk = (u32(CODE_TOP - 1) >> l.astype(u32))
     end = (e.val + msk) & ~msk
@@ -448,9 +471,9 @@ def re_finalize(e: RE, nbytes: int):
     window = e.end_window
     used = e.nend_bits
     endbuf, nend = e.endbuf, e.nend
+    b = endbuf.shape[0]
     for _ in range(4):
         need = used >= SYM_BITS
-        b = endbuf.shape[0]
         idx = _sel(need, nend, endbuf.shape[1])
         endbuf = endbuf.at[jnp.arange(b), idx].set(
             (window & u32(SYM_MAX)).astype(i32), mode="drop")
@@ -461,9 +484,8 @@ def re_finalize(e: RE, nbytes: int):
     # resolve digit carries: bytes = base-256 normalization of the digit
     # string, carry propagating from later digits to earlier ones
     def comb(a, bseg):
-        # carry functions f(c) = (d + c) >> 8 composed last-to-first over
-        # the digit string; scan element order applies `a` first, then
-        # `bseg`: h(c) = b(a(c)).  Represent each as (out_if_in0, out_if_in1).
+        # functions f(c) = (d + c) >> 8 composed last-to-first over the
+        # digit string; scan applies `a` first then `bseg`: h = b(a(c))
         a0, a1 = a
         b0, b1 = bseg
         return (jnp.where(a0 == 0, b0, b1), jnp.where(a1 == 0, b0, b1))
@@ -472,37 +494,31 @@ def re_finalize(e: RE, nbytes: int):
     d_rev = digits[:, ::-1]
     c0 = (d_rev >> 8) & 1
     c1 = ((d_rev + 1) >> 8) & 1
-    f0, f1 = jax.lax.associative_scan(comb, (c0, c1), axis=1)
-    # carry INTO digit i (from digits after it) = composed carry of the
-    # suffix strictly after i: shift the scan by one
+    f0, _f1 = jax.lax.associative_scan(comb, (c0, c1), axis=1)
     carry_in_rev = jnp.concatenate(
         [jnp.zeros((digits.shape[0], 1), i32), f0[:, :-1]], axis=1)
     carry_in = carry_in_rev[:, ::-1]
     resolved = (digits + carry_in) & 0xFF
 
     # assemble: head range bytes + zero gap + tail raw-bit bytes
-    b, dcap = digits.shape
-    out = jnp.zeros((b, nbytes), i32)
+    dcap = digits.shape[1]
     pos = jnp.arange(nbytes)[None, :]
-    # head: resolved[i] at position i for i < ndigits
     head = jnp.where(pos < e.ndigits[:, None],
-                     jnp.pad(resolved, ((0, 0), (0, max(0, nbytes - dcap))),
-                             )[:, :nbytes], 0)
-    # tail: endbuf[j] at position nbytes-1-j for j < nend
+                     jnp.pad(resolved,
+                             ((0, 0), (0, max(0, nbytes - dcap))))[:,
+                                                                   :nbytes],
+                     0)
     ecap = endbuf.shape[1]
-    tail_idx = nbytes - 1 - pos            # j for each position
-    tail_gidx = jnp.broadcast_to(jnp.clip(tail_idx, 0, ecap),
-                                 (b, nbytes))
+    tail_idx = nbytes - 1 - pos
+    tail_gidx = jnp.broadcast_to(jnp.clip(tail_idx, 0, ecap), (b, nbytes))
     tail = jnp.where((tail_idx >= 0) & (tail_idx < nend[:, None]),
                      jnp.take_along_axis(
                          jnp.pad(endbuf, ((0, 0), (0, 1))),
                          tail_gidx, axis=1), 0)
     out = head | tail
-    # leftover window bits OR-ed into the byte before the tail
     has_left = used > 0
     lpos = nbytes - nend - 1
-    leftover = jnp.where(has_left[:, None]
-                         & (pos == lpos[:, None]),
+    leftover = jnp.where(has_left[:, None] & (pos == lpos[:, None]),
                          (window & u32(0xFF)).astype(i32)[:, None], 0)
     out = out | leftover
     error = e.error | ((e.ndigits + nend) > nbytes).astype(i32)

@@ -14,4 +14,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# the fused on-device codec graphs are large; cache compilations across
+# test processes so the cost is paid once per machine
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -103,7 +103,9 @@ def test_decoder_exact(seed):
     pencs = _py_encode(kinds, active, params, values, B, S)
     bufs = np.stack([np.frombuffer(bytes(pe.buf[:S]), np.uint8)
                      for pe in pencs]).astype(np.int32)
-    d = V.rd_init(jnp.asarray(bufs), jnp.full((B,), S, jnp.int32))
+    bufj = jnp.asarray(bufs)
+    stj = jnp.full((B,), S, jnp.int32)
+    d = V.rd_init(bufj, stj)
     pdecs = [RangeDecoder(bytes(bufs[b].astype(np.uint8)))
              for b in range(B)]
     for t in range(STEPS):
@@ -112,7 +114,7 @@ def test_decoder_exact(seed):
         pv = jnp.asarray(params[t].astype(np.int32))
         if k == 0:
             fs, d = V.rd_decode(d, pv, am)
-            d = V.rd_update(d, fs, fs + 1, pv, am)
+            d = V.rd_update(d, bufj, stj, fs, fs + 1, pv, am)
             got = np.asarray(fs)
             for b in range(B):
                 if active[t, b]:
@@ -120,27 +122,27 @@ def test_decoder_exact(seed):
                     pdecs[b].update(w, w + 1, int(params[t][b]))
                     assert got[b] == w, (t, b)
         elif k == 1:
-            r, d = V.rd_dec_bit_logp(d, int(params[t][0]), am)
+            r, d = V.rd_dec_bit_logp(d, bufj, stj, int(params[t][0]), am)
             got = np.asarray(r)
             for b in range(B):
                 if active[t, b]:
                     assert got[b] == pdecs[b].dec_bit_logp(
                         int(params[t][b])), (t, b)
         elif k == 2:
-            r, d = V.rd_dec_icdf(d, ICDF, 4, am)
+            r, d = V.rd_dec_icdf(d, bufj, stj, ICDF, 4, am)
             got = np.asarray(r)
             for b in range(B):
                 if active[t, b]:
                     assert got[b] == pdecs[b].dec_icdf(ICDF_T, 4), (t, b)
         elif k == 3:
-            r, d = V.rd_dec_bits(d, jnp.where(am, pv, 0), am)
+            r, d = V.rd_dec_bits(d, bufj, stj, jnp.where(am, pv, 0), am)
             got = np.asarray(r)
             for b in range(B):
                 if active[t, b]:
                     assert got[b] == pdecs[b].dec_bits(
                         int(params[t][b])), (t, b)
         else:
-            r, d = V.rd_dec_uint(d, pv, am)
+            r, d = V.rd_dec_uint(d, bufj, stj, pv, am)
             got = np.asarray(r)
             for b in range(B):
                 if active[t, b]:
