@@ -86,6 +86,39 @@ def compute_equiv_rate(bitrate, channels, frame_rate, vbr, mode, complexity,
     return equiv
 
 
+_FEC_THRESHOLDS = (  # (rate_bps, hysteresis) per bandwidth NB..FB
+    (12000, 1000), (14000, 1000), (16000, 1000), (20000, 1000),
+    (22000, 1000))
+
+
+def decide_fec(use_inband_fec, packet_loss_perc, last_fec, mode, bandwidth,
+               rate):
+    """Whether to code LBRR this packet; may lower the bandwidth to make
+    room for it at high loss rates.  Returns (lbrr_coded, bandwidth)
+    (reference: decide_fec src/opus_encoder.c:940)."""
+    if not use_inband_fec or packet_loss_perc == 0 \
+            or mode == MODE_CELT_ONLY:
+        return 0, bandwidth
+    orig_bandwidth = bandwidth
+    while True:
+        bw_idx = _BW_ORDER.index(bandwidth)
+        thres, hysteresis = _FEC_THRESHOLDS[bw_idx]
+        if last_fec == 1:
+            thres -= hysteresis
+        elif last_fec == 0:
+            thres += hysteresis
+        thres = (thres * (125 - min(packet_loss_perc, 25))
+                 * 655) >> 16  # SMULWB(x, 0.01 in Q16)
+        if rate > thres:
+            return 1, bandwidth
+        if packet_loss_perc <= 5:
+            return 0, bandwidth
+        if bw_idx > 0:
+            bandwidth = _BW_ORDER[bw_idx - 1]
+        else:
+            return 0, orig_bandwidth
+
+
 def compute_silk_rate_for_hybrid(rate, bandwidth, frame20ms, vbr, fec,
                                  channels):
     """(reference: compute_silk_rate_for_hybrid src/opus_encoder.c:973)"""
@@ -207,6 +240,8 @@ class OpusEncoder:
         self.constrained_vbr = 1
         self.complexity = 9
         self.packet_loss_perc = 0
+        self.use_inband_fec = False
+        self.lbrr_coded = 0
         self.use_dtx = 0
         self.force_channels = 0     # OPUS_AUTO
         self.user_bandwidth = None  # auto
@@ -248,6 +283,17 @@ class OpusEncoder:
     # -- ctl-style setters ------------------------------------------------
     def set_bitrate(self, bitrate):
         self.bitrate = bitrate
+
+    def set_inband_fec(self, enabled):
+        """OPUS_SET_INBAND_FEC (reference: src/opus_encoder.c:2966);
+        LBRR is actually coded only when decide_fec() agrees."""
+        self.use_inband_fec = bool(enabled)
+
+    def set_packet_loss_perc(self, perc):
+        """OPUS_SET_PACKET_LOSS_PERC (reference: opus_defines.h:282)."""
+        if not 0 <= perc <= 100:
+            raise ValueError("packet loss must be in [0, 100]")
+        self.packet_loss_perc = perc
 
     def set_vbr(self, vbr, constrained=True):
         self.vbr = 1 if vbr else 0
@@ -616,6 +662,11 @@ class OpusEncoder:
             detected = max(self.detected_bandwidth, min_bw)
             self.bandwidth = min(self.bandwidth, detected)
 
+        # in-band FEC decision (reference: src/opus_encoder.c:1675)
+        self.lbrr_coded, self.bandwidth = decide_fec(
+            self.use_inband_fec, self.packet_loss_perc, self.lbrr_coded,
+            mode, self.bandwidth, equiv_rate)
+
         curr_bandwidth = self.bandwidth
         if mode == MODE_SILK_ONLY and curr_bandwidth > BW_WB:
             mode = MODE_HYBRID
@@ -778,7 +829,8 @@ class OpusEncoder:
                         internal_fs_hz=silk_internal_rate,
                         payload_ms=1000 * len(pre16) * (1 if channels == 1
                                                         else 1) // fs,
-                        bitrate_bps=silk_rate, max_bits=1500 * 8)
+                        bitrate_bps=silk_rate, max_bits=1500 * 8,
+                        prefill=True)
                 except Exception:
                     pass  # prefill is best-effort state priming
 
@@ -790,7 +842,8 @@ class OpusEncoder:
                 max_bits=silk_max_bits, use_cbr=use_cbr,
                 complexity=self.complexity,
                 packet_loss_perc=self.packet_loss_perc,
-                n_channels=stream_channels)
+                n_channels=stream_channels,
+                lbrr_coded=bool(self.lbrr_coded))
 
             if mode == MODE_SILK_ONLY:
                 curr_bandwidth = {8000: BW_NB, 12000: BW_MB,

@@ -70,15 +70,17 @@ def _lpc_inverse_pred_gain_qa(a_qa, order):
         for n in range((k + 1) >> 1):
             tmp1 = a_qa[n]
             tmp2 = a_qa[k - n - 1]
+            # MUL32_FRAC_Q uses a ROUNDED 64-bit shift (silk/macros.h):
+            # truncating here diverges in the PLC unvoiced noise-gain path
             t64 = RSHIFT_ROUND64(
-                (tmp1 - ((tmp2 * rc_q31) >> 31)
-                 if abs(tmp1 - ((tmp2 * rc_q31) >> 31)) <= INT32_MAX
-                 else SAT32(tmp1 - ((tmp2 * rc_q31) >> 31))) * rc_mult2, mult2q)
+                SAT32(tmp1 - RSHIFT_ROUND64(tmp2 * rc_q31, 31))
+                * rc_mult2, mult2q)
             if t64 > INT32_MAX or t64 < -INT32_MAX - 1:
                 return 0
             a_qa[n] = t64
             t64 = RSHIFT_ROUND64(
-                SAT32(tmp2 - ((tmp1 * rc_q31) >> 31)) * rc_mult2, mult2q)
+                SAT32(tmp2 - RSHIFT_ROUND64(tmp1 * rc_q31, 31))
+                * rc_mult2, mult2q)
             if t64 > INT32_MAX or t64 < -INT32_MAX - 1:
                 return 0
             a_qa[k - n - 1] = t64
@@ -947,8 +949,12 @@ class ChannelState:
                     gain_q16 = SQRT_APPROX(frac_q24) << 4
                     slope_q16 = DIV32_16((1 << 16) - gain_q16, length)
                     slope_q16 <<= 2
+                    # reference uses SMULWB here (PLC.c:482) — the fade
+                    # multiplies by the int16 sample, not a full 32-bit
+                    # SMULWW; the truncation difference is audible as a
+                    # persistent state divergence after FEC recovery
                     for i in range(length):
-                        frame[i] = SMULWW(gain_q16, frame[i])
+                        frame[i] = SMULWB(gain_q16, frame[i])
                         gain_q16 += slope_q16
                         if gain_q16 > 1 << 16:
                             break

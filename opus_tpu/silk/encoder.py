@@ -7,6 +7,7 @@ filters exactly (silk_NSQ_c, single-state variant)."""
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import numpy as np
@@ -460,7 +461,16 @@ class SilkEncoderChannel(ChannelState):
         self.no_speech_counter = 0
         self.in_dtx = 0
         self.target_rate_bps = 20000
+        # in-band FEC (LBRR) state (reference: silk_encoder_state
+        # LBRR_enabled/LBRR_GainIncreases/LBRR_flags/indices_LBRR/
+        # pulses_LBRR, silk/structs.h:170-178)
         self.lbrr_enabled = 0
+        self.lbrr_gain_increases = 7
+        self.LBRR_flags = [0, 0, 0]
+        self.LBRR_flag = 0
+        self.indices_LBRR = [None, None, None]
+        self.pulses_LBRR = [None, None, None]
+        self.LBRRprevLastGainIndex = 0
         self.resampler_enc = None
         # adaptive HP cutoff smoother state (reference:
         # silk/HP_variable_cutoff.c; read by the opus layer's hp_cutoff)
@@ -615,9 +625,15 @@ class SilkEncoderChannel(ChannelState):
             self.warping_q16 = fs_khz * SILK_FIX_CONST(0.015, 16)
         self.use_interpolated_nlsfs = 1
         self.complexity = complexity
-        if self.resampler_enc is None:
+        # (re)create the input resampler whenever either rate changes
+        # (reference: silk_control_encoder control_codec.c:118-135
+        # re-inits the resampler on fs transitions)
+        if (self.resampler_enc is None
+                or getattr(self, "_resampler_rates", None)
+                != (api_fs_hz, fs_khz * 1000)):
             self.resampler_enc = Resampler(api_fs_hz, fs_khz * 1000,
                                            for_enc=True)
+            self._resampler_rates = (api_fs_hz, fs_khz * 1000)
 
     def control_snr(self, target_rate_bps):
         """(reference: silk/control_SNR.c:86)"""
@@ -633,6 +649,54 @@ class SilkEncoderChannel(ChannelState):
         idx = (target_rate_bps + 200) // 400
         idx = min(idx - 10, len(table) - 1)
         self.snr_db_q7 = 0 if idx <= 0 else table[idx] * 21
+
+    def setup_lbrr(self, lbrr_coded: bool):
+        """(reference: silk_setup_LBRR silk/control_codec.c:403)"""
+        prev_enabled = self.lbrr_enabled
+        self.lbrr_enabled = 1 if lbrr_coded else 0
+        if self.lbrr_enabled:
+            if prev_enabled == 0:
+                self.lbrr_gain_increases = 7
+            else:
+                self.lbrr_gain_increases = max(
+                    7 - ((self.packet_loss_perc
+                          * SILK_FIX_CONST(0.2, 16)) >> 16), 3)
+
+    def _lbrr_encode(self, ctrl, inp16, cond_coding, pitch_l):
+        """Low-bitrate redundant encoding of the current frame: reuse all
+        analysis results but re-quantize the excitation at boosted gains;
+        the stored indices/pulses are emitted at the start of the NEXT
+        packet (reference: silk_LBRR_encode_FLP
+        silk/float/encode_frame_FLP.c:361; emission enc_API.c:363-405)."""
+        i = self.nFramesDecoded
+        # LBRR_SPEECH_ACTIVITY_THRES = 0.3 (silk/tuning_parameters.h:78)
+        if not (self.lbrr_enabled
+                and self.speech_activity_q8 > SILK_FIX_CONST(0.3, 8)):
+            return
+        self.LBRR_flags[i] = 1
+        nsq_lbrr = self.nsq.copy()
+        ind = dataclasses.replace(
+            self.indices, GainsIndices=list(self.indices.GainsIndices),
+            LTPIndex=list(self.indices.LTPIndex),
+            NLSFIndices=list(self.indices.NLSFIndices))
+        gains_save_q16 = list(ctrl["Gains_Q16"])
+        if i == 0 or self.LBRR_flags[i - 1] == 0:
+            # first (or first-after-gap) LBRR frame: boost the gain to hit
+            # the reduced LBRR rate
+            self.LBRRprevLastGainIndex = self.last_gain_index
+            ind.GainsIndices[0] = min(
+                ind.GainsIndices[0] + self.lbrr_gain_increases,
+                N_LEVELS_QGAIN - 1)
+        gains_q16, self.LBRRprevLastGainIndex = gains_dequant(
+            ind.GainsIndices, self.LBRRprevLastGainIndex,
+            cond_coding == CODE_CONDITIONALLY, self.nb_subfr)
+        ctrl["Gains_Q16"] = gains_q16
+        pulses = [0] * ((self.frame_length + 15) & ~15)
+        self._nsq_wrapper(ctrl, pulses, inp16, pitch_l,
+                          nsq=nsq_lbrr, indices=ind)
+        ctrl["Gains_Q16"] = gains_save_q16
+        self.indices_LBRR[i] = ind
+        self.pulses_LBRR[i] = pulses
 
     # -- frame encode ----------------------------------------------------
     def encode_frame(self, enc: RangeEncoder, inp16, cond_coding, max_bits,
@@ -711,6 +775,9 @@ class SilkEncoderChannel(ChannelState):
 
         # ---- gains processing ----
         self._process_gains(ctrl, cond_coding)
+
+        # ---- low-bitrate redundancy (in-band FEC) ----
+        self._lbrr_encode(ctrl, inp16, cond_coding, pitch_l)
 
         # ---- rate loop ----
         gains_unq_q16 = list(ctrl["Gains_Q16"])
@@ -813,7 +880,8 @@ class SilkEncoderChannel(ChannelState):
     # ------------------------------------------------------------------
     def encode_indices(self, enc, frame_index, encode_lbrr, cond_coding):
         """Mirror of decode_indices (reference: silk/encode_indices.c)."""
-        ind = self.indices
+        ind = self.indices_LBRR[frame_index] if encode_lbrr \
+            else self.indices
         typ = ind.signalType
         if encode_lbrr or self.VAD_flags[frame_index]:
             assert typ >= 1
@@ -1143,8 +1211,14 @@ class SilkEncoderChannel(ChannelState):
                           + FA.LAMBDA_QUANT_OFFSET * quant_offset)
 
     # ------------------------------------------------------------------
-    def _nsq_wrapper(self, ctrl, pulses, inp16, pitch_l):
-        """(reference: silk_NSQ_wrapper_FLP wrappers_FLP.c:96)"""
+    def _nsq_wrapper(self, ctrl, pulses, inp16, pitch_l, nsq=None,
+                     indices=None):
+        """(reference: silk_NSQ_wrapper_FLP wrappers_FLP.c:96).  nsq and
+        indices default to the channel's own; the LBRR pass supplies
+        copies so the redundant quantization leaves the real state
+        untouched."""
+        nsq = self.nsq if nsq is None else nsq
+        indices = self.indices if indices is None else indices
         nb = self.nb_subfr
         ar_q13 = [0] * (nb * MAX_SHAPE_LPC_ORDER)
         for k in range(nb):
@@ -1165,18 +1239,18 @@ class SilkEncoderChannel(ChannelState):
         pred_coef_q12 = ctrl["PredCoef_Q12"]
         gains_q16 = ctrl["Gains_Q16"]
         ltp_scale_q14 = ctrl.get("LTP_scale_Q14", 0) \
-            if self.indices.signalType == TYPE_VOICED else 0
+            if indices.signalType == TYPE_VOICED else 0
         x16 = [SAT16(int(round(v))) for v in inp16]
         if self.n_states_delayed_decision > 1 or self.warping_q16 > 0:
             # the reference default at complexity >= 2
             # (reference: silk_NSQ_wrapper_FLP wrappers_FLP.c:96)
             from .nsq_del_dec import silk_nsq_del_dec
-            silk_nsq_del_dec(self, self.nsq, self.indices, x16, pulses,
+            silk_nsq_del_dec(self, nsq, indices, x16, pulses,
                              pred_coef_q12, ltp_coef_q14, ar_q13, hsg_q14,
                              tilt_q14, lf_shp_q14, gains_q16, pitch_l,
                              lambda_q10, ltp_scale_q14)
         else:
-            silk_nsq(self, self.nsq, self.indices, x16, pulses,
+            silk_nsq(self, nsq, indices, x16, pulses,
                      pred_coef_q12, ltp_coef_q14, ar_q13, hsg_q14, tilt_q14,
                      lf_shp_q14, gains_q16, pitch_l, lambda_q10,
                      ltp_scale_q14)
@@ -1241,7 +1315,7 @@ class SilkEncoder:
     def encode(self, enc: RangeEncoder, pcm_api, *, api_fs_hz,
                internal_fs_hz, payload_ms, bitrate_bps, max_bits,
                use_cbr=False, complexity=9, packet_loss_perc=0,
-               n_channels=1):
+               n_channels=1, lbrr_coded=False, prefill=False):
         """Encode one SILK packet worth of PCM into enc (reference:
         silk_Encode enc_API.c:150).  pcm_api: int16 at API rate,
         interleaved when n_channels == 2.  Returns bytes used."""
@@ -1257,6 +1331,7 @@ class SilkEncoder:
             ch.packet_loss_perc = packet_loss_perc
             ch.use_cbr = 1 if use_cbr else 0
             ch.nFramesDecoded = 0
+            ch.setup_lbrr(lbrr_coded)
 
         # resample each API channel to the internal rate
         pcm = np.asarray(pcm_api, dtype=np.int64)
@@ -1278,8 +1353,42 @@ class SilkEncoder:
         # (reference: enc_API.c:356-361)
         hdr_bits = (n_frames + 1) * n_channels
         icdf0 = 256 - (256 >> hdr_bits)
-        enc.enc_icdf(0, (icdf0, 0), 8)
-        # (LBRR data from the previous packet would be coded here)
+        if not prefill:
+            enc.enc_icdf(0, (icdf0, 0), 8)
+
+            # Encode any LBRR data stored during the PREVIOUS packet: the
+            # redundant copy of packet k's frames rides at the front of
+            # packet k+1's payload (reference: enc_API.c:363-405)
+            for n in range(n_channels):
+                ch = chs[n]
+                lbrr_symbol = 0
+                for i in range(n_frames):
+                    lbrr_symbol |= ch.LBRR_flags[i] << i
+                ch.LBRR_flag = 1 if lbrr_symbol > 0 else 0
+                if lbrr_symbol and n_frames > 1:
+                    enc.enc_icdf(lbrr_symbol - 1,
+                                 T.LBRR_FLAGS_ICDF_PTR[n_frames - 2], 8)
+            for i in range(n_frames):
+                for n in range(n_channels):
+                    ch = chs[n]
+                    if not ch.LBRR_flags[i]:
+                        continue
+                    if n_channels == 2 and n == 0:
+                        stereo_encode_pred(enc, self.stereo.predIx[i])
+                        # mid-only flag only needed when the side channel
+                        # has no LBRR of its own (enc_API.c:384-388)
+                        if chs[1].LBRR_flags[i] == 0:
+                            stereo_encode_mid_only(
+                                enc, self.stereo.mid_only_flags[i])
+                    cond = CODE_CONDITIONALLY \
+                        if i > 0 and ch.LBRR_flags[i - 1] \
+                        else CODE_INDEPENDENTLY
+                    ch.encode_indices(enc, i, 1, cond)
+                    encode_pulses(enc, ch.indices_LBRR[i].signalType,
+                                  ch.indices_LBRR[i].quantOffsetType,
+                                  list(ch.pulses_LBRR[i]), ch.frame_length)
+            for ch in chs:
+                ch.LBRR_flags = [0, 0, 0]
 
         # Bit reservoir: per-frame SNR target adapts to past overshoot
         # (reference: silk_Encode enc_API.c:412-443, :555-557).
@@ -1372,12 +1481,13 @@ class SilkEncoder:
 
         # Patch VAD + LBRR flags into the reserved header bits
         # (reference: enc_API.c:537-548)
-        flags = 0
-        for n in range(n_channels):
-            for i in range(n_frames):
-                flags = (flags << 1) | chs[n].VAD_flags[i]
-            flags = (flags << 1) | 0  # LBRR flag
-        enc.patch_initial_bits(flags, hdr_bits)
+        if not prefill:
+            flags = 0
+            for n in range(n_channels):
+                for i in range(n_frames):
+                    flags = (flags << 1) | chs[n].VAD_flags[i]
+                flags = (flags << 1) | chs[n].LBRR_flag
+            enc.patch_initial_bits(flags, hdr_bits)
 
         n_bytes_out = (ec_tell(enc) + 7) >> 3
         self.n_bits_exceeded += n_bytes_out * 8 - n_bits_packet

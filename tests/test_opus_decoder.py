@@ -230,3 +230,69 @@ def test_long_loss_plc_parity(tmp_path):
     ours = float2int16(dec.decode(p, 960))
     ref = np.asarray(buf[:], np.int64)
     assert np.abs(ours.astype(np.int64) - ref).max() <= 2
+
+
+def test_lbrr_encode_fec_burst_parity():
+    """Our encoder's in-band FEC (LBRR) streams must decode bit-exactly
+    in the reference decoder, including FEC recovery after burst losses
+    (encoder: silk_LBRR_encode_FLP encode_frame_FLP.c:361 + emission
+    enc_API.c:363-405; decoder: opus_decode_native FEC branch
+    src/opus_decoder.c:800-834).  Also regression-tests the rounded
+    MUL32_FRAC_Q in silk_LPC_inverse_pred_gain (LPC_inv_pred_gain.c:60),
+    which only shows up in consecutive-concealment state."""
+    import ctypes
+    import os
+    import numpy as np
+    import pytest
+    from opus_tpu.models.opus_encoder import OpusEncoder
+    from opus_tpu.models.opus_decoder import OpusDecoder
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    solib = os.path.join(repo, ".ref_build", "libopus_full.so")
+    if not os.path.exists(solib):
+        pytest.skip("reference build missing")
+    lib = ctypes.CDLL(solib)
+    lib.opus_decoder_create.restype = ctypes.c_void_p
+    lib.opus_decode.restype = ctypes.c_int
+    lib.opus_decode.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_int,
+                                ctypes.POINTER(ctypes.c_int16),
+                                ctypes.c_int, ctypes.c_int]
+    err = ctypes.c_int()
+    fs = 16000
+    rng = np.random.default_rng(7)
+    t = np.arange(fs * 2) / fs
+    f0 = 120 * (1 + 0.1 * np.sin(2 * np.pi * 0.7 * t))
+    sig = np.clip(0.4 * np.sin(2 * np.pi * np.cumsum(f0) / fs)
+                  * (0.4 + 0.6 * (np.sin(2 * np.pi * 1.3 * t) > 0))
+                  + 0.02 * rng.standard_normal(len(t)), -1, 1)
+    enc = OpusEncoder(fs, 1, application="voip")
+    enc.set_bitrate(24000)
+    enc.set_inband_fec(True)
+    enc.set_packet_loss_perc(20)
+    n = fs // 50
+    pkts = [enc.encode(sig[i * n:(i + 1) * n], n)
+            for i in range(len(sig) // n)]
+    # at 24 kb/s with 20% loss the FEC decision must actually code LBRR
+    assert enc.lbrr_coded
+
+    rdec = lib.opus_decoder_create(fs, 1, ctypes.byref(err))
+    ours = OpusDecoder(fs, 1)
+    buf = (ctypes.c_int16 * n)()
+    lost = {13, 27, 28, 60, 61, 62, 75}   # isolated + bursts of 2 and 3
+    nfec = 0
+    for i, p in enumerate(pkts):
+        if i in lost and i + 1 < len(pkts) and (i + 1) not in lost:
+            o = ours.decode_int16(pkts[i + 1], n, decode_fec=True)
+            lib.opus_decode(rdec, pkts[i + 1], len(pkts[i + 1]),
+                            buf, n, 1)
+            nfec += 1
+        elif i in lost:
+            o = ours.decode_int16(None, n)
+            lib.opus_decode(rdec, None, 0, buf, n, 0)
+        else:
+            o = ours.decode_int16(p, n)
+            lib.opus_decode(rdec, p, len(p), buf, n, 0)
+        ref = np.ctypeslib.as_array(buf)[:n]
+        assert np.array_equal(o.astype(int), ref.astype(int)), f"pkt {i}"
+    assert nfec >= 3
