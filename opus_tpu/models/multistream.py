@@ -234,6 +234,13 @@ class OpusMSEncoder:
         idx = self.coupled_streams + s
         return (self.mapping.index(idx) if idx in self.mapping else None,)
 
+    def encode24(self, pcm: np.ndarray, frame_size: int) -> bytes:
+        """24-bit multistream encode (reference:
+        opus_multistream_encode24 include/opus_multistream.h:415)."""
+        pcm = np.asarray(pcm, dtype=np.int64)
+        return self.encode(pcm.astype(np.float64) / 8388608.0,
+                           frame_size)
+
     def encode(self, pcm: np.ndarray, frame_size: int) -> bytes:
         """pcm: float interleaved [channels * frame_size]."""
         pcm = np.asarray(pcm, dtype=np.float64).reshape(-1)
@@ -354,3 +361,10 @@ class OpusMSDecoder:
     def decode_int16(self, data: bytes, frame_size: int | None = None):
         from ..utils.soft_clip import float2int16
         return float2int16(self.decode(data, frame_size))
+
+    def decode24(self, data: bytes, frame_size: int | None = None):
+        """24-bit multistream decode (reference:
+        opus_multistream_decode24 include/opus_multistream.h:661)."""
+        pcm = np.asarray(self.decode(data, frame_size), np.float64)
+        return np.clip(np.rint(pcm * 8388608.0), -(1 << 31),
+                       (1 << 31) - 1).astype(np.int32)

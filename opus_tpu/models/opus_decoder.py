@@ -180,6 +180,18 @@ class OpusDecoder:
         pcm_soft_clip(pcm, self.channels, self.softclip_mem)
         return float2int16(pcm)
 
+    def decode24(self, data: bytes | None,
+                 frame_size: int | None = None,
+                 decode_fec: bool = False) -> np.ndarray:
+        """24-bit decode API: int32 samples in 24-bit scale (reference:
+        opus_decode24 src/opus_decoder.c:947; RES2INT24(a) =
+        float2int(32768*256*a), celt/arch.h:375 — round-to-nearest, no
+        soft clip in the float build)."""
+        pcm = np.asarray(self.decode(data, frame_size, decode_fec),
+                         dtype=np.float64)
+        return np.clip(np.rint(pcm * 8388608.0), -(1 << 31),
+                       (1 << 31) - 1).astype(np.int32)
+
     def _decode_frames(self, data, frames, frame_size) -> np.ndarray:
         if data is None:
             pcm = np.zeros(frame_size * self.channels)

@@ -377,6 +377,15 @@ class OpusEncoder:
         return 60 * self.fs // frame_size + self.fs * self.channels
 
     # -- main entry -------------------------------------------------------
+    def encode24(self, pcm: np.ndarray, frame_size: int,
+                 max_data_bytes: int = 1276) -> bytes:
+        """24-bit encode API: int32 samples in 24-bit scale (reference:
+        opus_encode24 include/opus.h:302; INT24TORES(a) = a/(32768*256),
+        celt/arch.h:377)."""
+        pcm = np.asarray(pcm, dtype=np.int64)
+        return self.encode(pcm.astype(np.float64) / 8388608.0,
+                           frame_size, max_data_bytes)
+
     def encode(self, pcm: np.ndarray, frame_size: int,
                max_data_bytes: int = 1276) -> bytes:
         """pcm: float interleaved [-1,1], frame_size samples per channel.
