@@ -51,6 +51,7 @@ class OpusDecoder:
         self.mode = 0
         self.bandwidth = 0
         self.softclip_mem = np.zeros(channels, dtype=np.float32)
+        self.decode_gain = 0        # OPUS_SET_GAIN, Q8 dB
         # deep PLC / DRED recovery (reference: st->lpcnet,
         # src/opus_decoder.c:735-760, :1611)
         self.lpcnet = None
@@ -120,6 +121,9 @@ class OpusDecoder:
             if frame_size is None:
                 frame_size = self.last_packet_duration or self.fs // 50
             return self._decode_frames(None, [], frame_size)
+        # DTX bookkeeping for OPUS_GET_IN_DTX: a packet whose frames are
+        # all empty/1-byte is a DTX update
+        self.last_packet_empty = len(data) <= 2
         parsed = pkt.packet_parse(data)
         if isinstance(parsed, int):
             raise ValueError(f"invalid packet ({parsed})")
@@ -473,6 +477,11 @@ class OpusDecoder:
                 self._smooth_fade(pcm_transition[:ch * f2_5],
                                   pcm[:ch * f2_5].copy(),
                                   pcm[:ch * f2_5], f2_5)
+
+        # OPUS_SET_GAIN scaling (reference: src/opus_decoder.c:681-688,
+        # Q8 dB: gain = 2^(6.48814081e-4 * decode_gain))
+        if self.decode_gain:
+            pcm *= 2.0 ** (6.48814081e-4 * self.decode_gain)
 
         self.rangeFinal ^= redundant_rng
         self.prev_mode = mode
