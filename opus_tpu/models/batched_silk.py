@@ -96,8 +96,15 @@ def _lpc_subframe(slpc, res, a16, order_half: int):
 
     slpc: [B, 16] state (most recent last); res: [B, sf]; a16: [B, 16].
     Returns (v [B, sf] sLPC_Q14 values, new slpc).
+
+    On TPU the recursion runs as the Pallas kernel (ops/lpc_pallas.py,
+    register-resident state, ~1.7x the scan); elsewhere as lax.scan.
+    Both are bit-exact twins (tests/test_lpc_pallas.py).
     """
     a_rev = a16[:, ::-1]
+    if jax.default_backend() == "tpu":
+        from ..ops.lpc_pallas import lpc_subframe
+        return lpc_subframe(slpc, res, a_rev, order_half)
 
     def step(state, r):
         pred = order_half + jnp.sum(smulwb(state, a_rev), axis=1,
