@@ -214,6 +214,41 @@ def encoder_ctl(enc, request: int, *args):
     return None
 
 
+OPUS_MULTISTREAM_GET_ENCODER_STATE = 5120
+OPUS_MULTISTREAM_GET_DECODER_STATE = 5122
+
+
+def multistream_encoder_ctl(ms, request: int, *args):
+    """opus_multistream_encoder_ctl twin: per-stream requests forward
+    to every elementary encoder; OPUS_MULTISTREAM_GET_ENCODER_STATE
+    returns the selected sub-encoder (reference:
+    src/opus_multistream_encoder.c:1112)."""
+    if request == OPUS_MULTISTREAM_GET_ENCODER_STATE:
+        _check(0 <= args[0] < len(ms.encoders))
+        return ms.encoders[args[0]]
+    if request == OPUS_SET_BITRATE:
+        ms.bitrate = args[0]
+        return None
+    if request == OPUS_GET_BITRATE:
+        return ms.bitrate
+    out = None
+    for e in ms.encoders:
+        out = encoder_ctl(e, request, *args)
+    return out
+
+
+def multistream_decoder_ctl(ms, request: int, *args):
+    """opus_multistream_decoder_ctl twin (reference:
+    src/opus_multistream_decoder.c:391)."""
+    if request == OPUS_MULTISTREAM_GET_DECODER_STATE:
+        _check(0 <= args[0] < len(ms.decoders))
+        return ms.decoders[args[0]]
+    out = None
+    for d in ms.decoders:
+        out = decoder_ctl(d, request, *args)
+    return out
+
+
 def decoder_ctl(dec, request: int, *args):
     """opus_decoder_ctl twin (reference: src/opus_decoder.c:1049)."""
     v = args[0] if args else None

@@ -112,3 +112,18 @@ def test_decoder_getters():
     assert pitch > 0, "voiced stream should report a pitch lag"
     rng = C.decoder_ctl(dec, C.OPUS_GET_FINAL_RANGE)
     assert rng == dec.rangeFinal != 0
+
+
+def test_multistream_ctl_forwarding():
+    from opus_tpu.models.multistream import OpusMSEncoder, OpusMSDecoder
+    ms = OpusMSEncoder(48000, 2, 2, 0, [0, 1], application="audio")
+    C.multistream_encoder_ctl(ms, C.OPUS_SET_COMPLEXITY, 4)
+    assert all(e.complexity == 4 for e in ms.encoders)
+    sub = C.multistream_encoder_ctl(
+        ms, C.OPUS_MULTISTREAM_GET_ENCODER_STATE, 1)
+    assert sub is ms.encoders[1]
+    msd = OpusMSDecoder(48000, 2, 2, 0, [0, 1])
+    C.multistream_decoder_ctl(msd, C.OPUS_SET_GAIN, 128)
+    assert all(d.decode_gain == 128 for d in msd.decoders)
+    assert C.multistream_decoder_ctl(
+        msd, C.OPUS_MULTISTREAM_GET_DECODER_STATE, 0) is msd.decoders[0]
