@@ -1,0 +1,90 @@
+"""Fused on-device SILK decoder (opus_tpu/models/fused_silk_dec.py):
+bit-exactness vs the scalar Python decoder, with no error-lane fallbacks
+on ordinary speech streams."""
+
+import numpy as np
+import pytest
+
+from opus_tpu.models.opus_encoder import OpusEncoder
+from opus_tpu.bitstream import packet as pkt
+from opus_tpu.bitstream.range_coder import RangeDecoder
+from opus_tpu.silk.api import SilkDecoder
+from opus_tpu.silk import decoder as sdec
+
+
+def _speechish(fs, seconds=1.5, seed=7):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(fs * seconds)) / fs
+    f0 = 120 * (1 + 0.1 * np.sin(2 * np.pi * 0.7 * t))
+    sig = 0.4 * np.sin(2 * np.pi * np.cumsum(f0) / fs)
+    sig += 0.2 * np.sin(2 * np.pi * 2 * np.cumsum(f0) / fs)
+    sig *= (0.3 + 0.7 * (np.sin(2 * np.pi * 1.5 * t) > 0))
+    sig += 0.02 * rng.standard_normal(len(t))
+    return np.clip(sig, -1, 1)
+
+
+def _encode(fs, bitrate=24000, seconds=1.5, fec=False):
+    enc = OpusEncoder(fs, 1, application="voip")
+    enc.set_bitrate(bitrate)
+    if fec:
+        enc.set_inband_fec(True)
+        enc.set_packet_loss_perc(20)
+    sig = _speechish(fs, seconds)
+    n = fs // 50
+    payloads = []
+    for i in range(len(sig) // n):
+        p = enc.encode(sig[i * n:(i + 1) * n], n)
+        assert pkt.packet_get_mode(p) == pkt.Mode.SILK_ONLY
+        payloads.append(pkt.packet_parse(p).frames[0])
+    return payloads
+
+
+def _scalar_frames(payloads, fs_hz):
+    xq = []
+    orig = sdec.ChannelState.decode_frame
+
+    def cap(self, dec, xq_out, lost, cond):
+        r = orig(self, dec, xq_out, lost, cond)
+        xq.append(np.asarray(xq_out, np.int16))
+        return r
+
+    sdec.ChannelState.decode_frame = cap
+    try:
+        sd = SilkDecoder()
+        for p in payloads:
+            sd.decode(RangeDecoder(p), n_channels_api=1,
+                      n_channels_internal=1, api_sample_rate=fs_hz,
+                      internal_sample_rate=fs_hz, payload_size_ms=20,
+                      lost_flag=0, new_packet_flag=True)
+    finally:
+        sdec.ChannelState.decode_frame = orig
+    return xq
+
+
+@pytest.mark.parametrize("fs_khz", [16, 8])
+def test_fused_silk_bit_exact(fs_khz):
+    from opus_tpu.models.fused_silk_dec import FusedSilkDecoder
+
+    fs = fs_khz * 1000
+    payloads = _encode(fs, bitrate=24000 if fs_khz == 16 else 12000)
+    ref = _scalar_frames(payloads, fs)
+    fd = FusedSilkDecoder(2, fs_khz=fs_khz)
+    for i, p in enumerate(payloads):
+        pcm, err = fd.decode([p] * 2)
+        assert not err.any(), f"frame {i}: unexpected error-lane fallback"
+        for s in range(2):
+            assert np.array_equal(pcm[s], ref[i]), \
+                f"fs={fs_khz}k frame {i} stream {s}"
+
+
+def test_fused_silk_flags_lbrr_for_fallback():
+    """Streams with in-band FEC (LBRR) must be flagged, not mis-decoded."""
+    from opus_tpu.models.fused_silk_dec import FusedSilkDecoder
+
+    payloads = _encode(16000, fec=True, seconds=1.0)
+    fd = FusedSilkDecoder(1, fs_khz=16)
+    flagged = 0
+    for p in payloads:
+        _, err = fd.decode([p])
+        flagged += int(err[0])
+    assert flagged > 0, "expected at least one LBRR-flagged packet"
