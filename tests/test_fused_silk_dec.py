@@ -61,12 +61,13 @@ def _scalar_frames(payloads, fs_hz):
     return xq
 
 
-@pytest.mark.parametrize("fs_khz", [16, 8])
+@pytest.mark.parametrize("fs_khz", [16, 8, 12])
 def test_fused_silk_bit_exact(fs_khz):
     from opus_tpu.models.fused_silk_dec import FusedSilkDecoder
 
     fs = fs_khz * 1000
-    payloads = _encode(fs, bitrate=24000 if fs_khz == 16 else 12000)
+    payloads = _encode(fs, bitrate={16: 24000, 12: 16000,
+                                    8: 12000}[fs_khz])
     ref = _scalar_frames(payloads, fs)
     fd = FusedSilkDecoder(2, fs_khz=fs_khz)
     for i, p in enumerate(payloads):
