@@ -89,3 +89,44 @@ def test_fused_silk_flags_lbrr_for_fallback():
         _, err = fd.decode([p])
         flagged += int(err[0])
     assert flagged > 0, "expected at least one LBRR-flagged packet"
+
+
+def test_fused_silk_10ms_frames():
+    """nb_subfr=2 (10 ms) packets decode bit-exact too."""
+    from opus_tpu.models.fused_silk_dec import FusedSilkDecoder
+
+    fs = 16000
+    enc = OpusEncoder(fs, 1, application="voip")
+    enc.set_bitrate(24000)
+    sig = _speechish(fs, 1.0)
+    n = fs // 100
+    payloads = []
+    for i in range(len(sig) // n):
+        p = enc.encode(sig[i * n:(i + 1) * n], n)
+        assert pkt.packet_get_mode(p) == pkt.Mode.SILK_ONLY
+        payloads.append(pkt.packet_parse(p).frames[0])
+
+    xq = []
+    orig = sdec.ChannelState.decode_frame
+
+    def cap(self, dec, xq_out, lost, cond):
+        r = orig(self, dec, xq_out, lost, cond)
+        xq.append(np.asarray(xq_out, np.int16))
+        return r
+
+    sdec.ChannelState.decode_frame = cap
+    try:
+        sd = SilkDecoder()
+        for p in payloads:
+            sd.decode(RangeDecoder(p), n_channels_api=1,
+                      n_channels_internal=1, api_sample_rate=fs,
+                      internal_sample_rate=fs, payload_size_ms=10,
+                      lost_flag=0, new_packet_flag=True)
+    finally:
+        sdec.ChannelState.decode_frame = orig
+
+    fd = FusedSilkDecoder(1, fs_khz=16, nb_subfr=2)
+    for i, p in enumerate(payloads):
+        pcm, err = fd.decode([p])
+        assert not err[0], f"frame {i}"
+        assert np.array_equal(pcm[0], xq[i]), f"frame {i}"
