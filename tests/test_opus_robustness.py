@@ -176,3 +176,36 @@ def test_plc_then_recovery_after_transitions():
         else:
             out = dec.decode(p)
         assert np.all(np.isfinite(out))
+
+
+def test_forced_mode_and_framesize_transitions():
+    """Forced SILK->CELT->hybrid mode flips interleaved with frame-size
+    changes: every packet must decode finite with encoder/decoder
+    final-range agreement (the transition-redundancy + prefill paths)."""
+    from opus_tpu.models.opus_encoder import (MODE_SILK_ONLY,
+                                              MODE_CELT_ONLY, MODE_HYBRID)
+    fs = 48000
+    rng = np.random.default_rng(21)
+    enc = OpusEncoder(fs, 1, application="audio")
+    enc.set_bitrate(64000)
+    dec = OpusDecoder(fs, 1)
+    plan = [
+        (MODE_SILK_ONLY, 960), (MODE_SILK_ONLY, 480),
+        (MODE_CELT_ONLY, 480), (MODE_CELT_ONLY, 120),
+        (MODE_CELT_ONLY, 960), (MODE_HYBRID, 960),
+        (MODE_SILK_ONLY, 960), (MODE_HYBRID, 480),
+        (MODE_CELT_ONLY, 240), (MODE_SILK_ONLY, 960),
+        (None, 960), (None, 480),   # back to auto
+    ]
+    nbad = 0
+    for step, (mode, frame) in enumerate(plan * 3):
+        enc.set_force_mode(mode)
+        t = np.arange(frame) / fs
+        sig = np.clip(0.3 * np.sin(2 * np.pi * (250 + 31 * step) * t)
+                      + 0.02 * rng.standard_normal(frame), -1, 1)
+        p = enc.encode(sig, frame)
+        out = dec.decode(p)
+        assert np.all(np.isfinite(out)), step
+        assert len(out) == pkt.packet_get_nb_samples(p, fs), step
+        nbad += dec.rangeFinal != enc.rangeFinal
+    assert nbad == 0, f"{nbad} final-range mismatches"
