@@ -85,3 +85,75 @@ def test_nsq_del_dec_jax_bit_exact(fs, bitrate):
         assert nsq_jax.sDiff_shp_Q14 == nsq_ref.sDiff_shp_Q14
         assert nsq_jax.prev_gain_Q16 == nsq_ref.prev_gain_Q16
         assert nsq_jax.lagPrev == nsq_ref.lagPrev
+
+
+def test_nsq_del_dec_jax_stream_batch_vmap():
+    """The [S]-lane core vmaps over a leading stream axis: a [B]-batch
+    of captured calls equals the per-call results (SURVEY §2.6 beam x
+    stream mapping)."""
+    import jax
+    import jax.numpy as jnp
+    from opus_tpu.silk import nsq_del_dec_jax as NJ
+
+    calls = _capture_calls(16000, 24000, max_calls=16)
+    # pick the largest group of calls with identical static config
+    from collections import Counter
+    key = lambda c: (c["indices"].signalType,
+                     c["indices"].quantOffsetType,
+                     c["indices"].NLSFInterpCoef_Q2 == 4)
+    best_key, _ = Counter(key(c) for c in calls).most_common(1)[0]
+    base = next(c for c in calls if key(c) == best_key)
+    ch = base["ch"]
+    statics = dict(
+        frame_length=ch.frame_length, subfr_length=ch.subfr_length,
+        ltp_mem=ch.ltp_mem_length, predict_order=ch.predict_lpc_order,
+        shaping_order=ch.shaping_lpc_order,
+        n_states=ch.n_states_delayed_decision, nb_subfr=ch.nb_subfr,
+        signal_type=base["indices"].signalType,
+        offset_q10=NJ.T.QUANTIZATION_OFFSETS_Q10[
+            base["indices"].signalType >> 1][
+            base["indices"].quantOffsetType],
+        lsf_interp_flag=0 if base["indices"].NLSFInterpCoef_Q2 == 4
+        else 1, warping_q16=ch.warping_q16)
+    group = [c for c in calls
+             if (c["indices"].signalType, c["indices"].quantOffsetType,
+                 c["indices"].NLSFInterpCoef_Q2 == 4) ==
+                (base["indices"].signalType,
+                 base["indices"].quantOffsetType,
+                 base["indices"].NLSFInterpCoef_Q2 == 4)][:3]
+    if len(group) < 2:
+        pytest.skip("not enough homogeneous calls captured")
+    total = ch.ltp_mem_length + ch.frame_length
+
+    def args_of(c):
+        return (jnp.asarray(c["x16"], jnp.int32),
+                jnp.asarray(c["pred"], jnp.int32),
+                jnp.asarray(c["ltp"], jnp.int32),
+                jnp.asarray(c["ar"], jnp.int32),
+                jnp.asarray(c["hsg"], jnp.int32),
+                jnp.asarray(c["tilt"], jnp.int32),
+                jnp.asarray(c["lf"], jnp.int32),
+                jnp.asarray(c["gains"], jnp.int32),
+                jnp.asarray(list(c["pitch"]) + [0] * (4 - len(c["pitch"])),
+                            jnp.int32),
+                jnp.int32(c["lam"]), jnp.int32(c["scale"]),
+                jnp.int32(c["indices"].Seed),
+                jnp.int32(c["nsq"].lagPrev),
+                jnp.int32(c["nsq"].prev_gain_Q16),
+                jnp.asarray(c["nsq"].xq[:total], jnp.int32),
+                jnp.asarray(c["nsq"].sLTP_shp_Q14[:total], jnp.int32),
+                jnp.asarray(c["nsq"].sLPC_Q14[:NJ.NSQ_LPC_BUF],
+                            jnp.int32),
+                jnp.asarray(c["nsq"].sAR2_Q14, jnp.int32),
+                jnp.int32(c["nsq"].sLF_AR_shp_Q14),
+                jnp.int32(c["nsq"].sDiff_shp_Q14))
+
+    single = [NJ._nsq_del_dec_core(*args_of(c), **statics)
+              for c in group]
+    stacked = [jnp.stack(xs) for xs in zip(*(args_of(c) for c in group))]
+    batched = jax.vmap(lambda *a: NJ._nsq_del_dec_core(*a, **statics))(
+        *stacked)
+    for oi in range(len(single[0])):
+        for bi in range(len(group)):
+            assert np.array_equal(np.asarray(batched[oi][bi]),
+                                  np.asarray(single[bi][oi])), (oi, bi)
