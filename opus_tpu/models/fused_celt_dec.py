@@ -18,9 +18,15 @@ celt_decode_with_ec celt/celt_decoder.c:1619, quant_bands.c unquant_*,
 rate.c:372 interp_bits2pulses, bands.c:1589 quant_all_bands,
 cwrs.c:467 cwrsi, vq.c:621 alg_unquant, laplace.c ec_laplace_decode.
 
-STATUS (work in progress): the header / coarse-energy / tf / dynalloc /
-allocation stages below are complete; the remaining stages (fine
-energy, the quant_all_bands split recursion with CWRS decode via the
+STATUS (work in progress): the planning pass below —
+header/silence/postfilter, coarse energy (vectorized Laplace), tf,
+dynalloc, trim, the full interp_bits2pulses/compute_allocation, and
+fine energy — is assembled end-to-end in `fused_celt_plan`, with a
+symbol-exactness test against the scalar decoder
+(tests/test_fused_celt_plan.py, opt-in via
+OPUS_TPU_RUN_FUSED_CELT_PLAN=1: the graph currently triggers a
+pathological XLA CPU compile, see COMPONENTS.md round-3 item 2).  The
+remaining stages (quant_all_bands split recursion with CWRS via the
 dense U/V tables, anti-collapse, energy finalise) still route through
 the native C symbol pass (opus_tpu/native/celt_dec.c).  Nothing here is
 wired into the public decoders yet."""
@@ -157,7 +163,7 @@ def _pulses2bits(row: np.ndarray, pulses):
 _GET_PULSES_NP = np.array([_get_pulses_np(i) for i in range(64)], np.int32)
 
 
-def _laplace_decode_vec(d: V.RD, fs0, decay, active):
+def _laplace_decode_vec(d: V.RD, buf, lens, fs0, decay, active):
     """Vectorized ec_laplace_decode (laplace.c); fs0/decay: [B] i32."""
     fm, d = V.rd_decode(d, jnp.full_like(fs0, 32768), active)
     val = jnp.zeros_like(fm)
@@ -168,17 +174,17 @@ def _laplace_decode_vec(d: V.RD, fs0, decay, active):
     fl = _sel(ge, fs0, 0)
     ft1 = ((32768 - 2 * 16 - fs0) * (16384 - decay)) >> 15
     fs = _sel(ge, ft1 + 1, fs)
-    running = ge
-    overflow = jnp.zeros_like(ge)
-    for _ in range(LAPLACE_CAP):
+    def _lap_step(carry, _):
+        fs, fl, val, running = carry
         cond = running & (fs > 1) & (fm >= fl + 2 * fs)
         fs2 = fs * 2
-        fl2 = fl + fs2
-        fs3 = (((fs2 - 2) * decay) >> 15) + 1
-        fs = _sel(cond, fs3, fs)
-        fl = _sel(cond, fl2, fl)
+        fs = _sel(cond, (((fs2 - 2) * decay) >> 15) + 1, fs)
+        fl = _sel(cond, fl + fs2, fl)
         val = _sel(cond, val + 1, val)
-        running = running & cond
+        return (fs, fl, val, cond), None
+
+    (fs, fl, val, _run), _ = jax.lax.scan(
+        _lap_step, (fs, fl, val, ge), None, length=LAPLACE_CAP)
     # cap check: if still running, flag error
     still = ge & (fs > 1) & (fm >= fl + 2 * fs)
     overflow = still
@@ -189,7 +195,8 @@ def _laplace_decode_vec(d: V.RD, fs0, decay, active):
     val = _sel(ge, _sel(neg, -val, val), 0)
     fl = _sel(ge & ~neg, fl + fs, fl)
     fh = jnp.minimum(fl + fs, 32768)
-    d = V.rd_update(d, fl, fh, jnp.full_like(fl, 32768), active)
+    d = V.rd_update(d, buf, lens, fl, fh,
+                    jnp.full_like(fl, 32768), active)
     d = d._replace(error=d.error | (overflow & active).astype(i32))
     return val, d
 
@@ -197,8 +204,8 @@ def _laplace_decode_vec(d: V.RD, fs0, decay, active):
 # header + energies + allocation (the "planning" symbol pass)           #
 # ===================================================================== #
 
-def _coarse_energy(d: V.RD, tabs: _ModeTabs, old_e, intra, total_bits,
-                   active):
+def _coarse_energy(d: V.RD, buf, lens, tabs: _ModeTabs, old_e, intra,
+                   total_bits, active):
     """unquant_coarse_energy (quant_bands.c; celt_dec.c:255), mono."""
     lm = tabs.lm
     coef = _sel(intra.astype(bool), 0.0, PRED_COEF[lm])
@@ -214,10 +221,10 @@ def _coarse_energy(d: V.RD, tabs: _ModeTabs, old_e, intra, total_bits,
         pi = 2 * min(i, 20)
         fs0 = eprob[intra_i, pi] << 7
         decay = eprob[intra_i, pi + 1] << 6
-        qi_l, d = _laplace_decode_vec(d, fs0, decay, big)
-        s_m, d = V.rd_dec_icdf(d, SMALL_ENERGY_ICDF, 2, med)
+        qi_l, d = _laplace_decode_vec(d, buf, lens, fs0, decay, big)
+        s_m, d = V.rd_dec_icdf(d, buf, lens, SMALL_ENERGY_ICDF, 2, med)
         qi_m = (s_m >> 1) ^ -(s_m & 1)
-        b_t, d = V.rd_dec_bit_logp(d, 1, tiny)
+        b_t, d = V.rd_dec_bit_logp(d, buf, lens, 1, tiny)
         qi = _sel(big, qi_l, _sel(med, qi_m, _sel(tiny, -b_t, -1)))
         q = qi.astype(jnp.float64)
         old = jnp.maximum(old_e[:, i], -9.0)
@@ -227,7 +234,8 @@ def _coarse_energy(d: V.RD, tabs: _ModeTabs, old_e, intra, total_bits,
     return old_e, d
 
 
-def _tf_decode(d: V.RD, tabs: _ModeTabs, is_transient, total_bits, active):
+def _tf_decode(d: V.RD, buf, lens, tabs: _ModeTabs, is_transient,
+               total_bits, active):
     """tf_decode (celt_dec.c:333)."""
     lm = tabs.lm
     tsel = jnp.asarray(TF_SELECT_TABLE[lm])
@@ -245,11 +253,11 @@ def _tf_decode(d: V.RD, tabs: _ModeTabs, is_transient, total_bits, active):
         # per-stream logp: decode both variants masked (values 2/4 or 4/5)
         lo_logp = 2 if i == 0 else 4
         hi_logp = 4 if i == 0 else 5
-        b_lo, d = V.rd_dec_bit_logp(d, lo_logp,
+        b_lo, d = V.rd_dec_bit_logp(d, buf, lens, lo_logp,
                                     can & is_transient.astype(bool)
                                     if i == 0 else
                                     can & is_transient.astype(bool))
-        b_hi, d = V.rd_dec_bit_logp(d, hi_logp,
+        b_hi, d = V.rd_dec_bit_logp(d, buf, lens, hi_logp,
                                     can & ~is_transient.astype(bool))
         bit = _sel(is_transient.astype(bool), b_lo, b_hi)
         curr = _sel(can, curr ^ bit, curr)
@@ -258,14 +266,16 @@ def _tf_decode(d: V.RD, tabs: _ModeTabs, is_transient, total_bits, active):
         tf_res.append(curr)
     it4 = 4 * is_transient.astype(i32)
     want = tsel[it4 + 0 + tf_changed] != tsel[it4 + 2 + tf_changed]
-    sel_bit, d = V.rd_dec_bit_logp(d, 1, active & tf_select_rsv & want)
+    sel_bit, d = V.rd_dec_bit_logp(d, buf, lens, 1,
+                                   active & tf_select_rsv & want)
     tf_select = sel_bit
     tf = jnp.stack(tf_res, axis=1)            # [B, nb]
     out = tsel[it4[:, None] + 2 * tf_select[:, None] + tf]
     return out, d
 
 
-def _dynalloc(d: V.RD, tabs: _ModeTabs, total_bits, nbytes: int, active):
+def _dynalloc(d: V.RD, buf, lens, tabs: _ModeTabs, total_bits,
+              nbytes: int, active):
     """dynalloc boost decode (celt_dec.c:1646); returns (offsets [B, nb],
     trim [B], state)."""
     nb = tabs.nb
@@ -281,168 +291,38 @@ def _dynalloc(d: V.RD, tabs: _ModeTabs, total_bits, nbytes: int, active):
         cap_i = int(tabs.caps[i])
         trips = min((cap_i + quanta - 1) // quanta,
                     (nbytes * 8 << BITRES) // quanta + 1)
-        loop_logp = dynalloc_logp
-        boost = jnp.zeros((b,), i32)
-        running = active
-        for _ in range(trips):
-            can = running & (tellf + (loop_logp << BITRES) < total_bits8) \
+
+        # masked trip loop as a scan (keeps the graph small; the bit
+        # decode takes a PER-LANE logp, so one read covers all streams)
+        def _trip(carry, _):
+            d, tellf, boost, tb8, loop_logp, running = carry
+            can = running & (tellf + (loop_logp << BITRES) < tb8) \
                 & (boost < cap_i)
-            # per-stream logp in [1..6]: decode each variant masked
-            flag = jnp.zeros((b,), i32)
-            for lp in range(1, 7):
-                f_lp, d = V.rd_dec_bit_logp(d, lp, can & (loop_logp == lp))
-                flag = flag | f_lp
+            flag, d = V.rd_dec_bit_logp(
+                d, buf, lens, loop_logp.astype(u32), can)
             tellf = V.rd_tell_frac(d)
             got = can & (flag != 0)
             boost = _sel(got, boost + quanta, boost)
-            total_bits8 = _sel(got, total_bits8 - quanta, total_bits8)
+            tb8 = _sel(got, tb8 - quanta, tb8)
             loop_logp = _sel(got, jnp.ones_like(loop_logp), loop_logp)
-            running = got
+            return (d, tellf, boost, tb8, loop_logp, got), None
+
+        carry = (d, tellf, jnp.zeros((b,), i32), total_bits8,
+                 dynalloc_logp, active)
+        (d, tellf, boost, total_bits8, _lp, _run), _ = jax.lax.scan(
+            _trip, carry, None, length=trips)
         offsets = offsets.at[:, i].set(boost)
         dynalloc_logp = _sel(boost > 0,
                              jnp.maximum(dynalloc_logp - 1, 2),
                              dynalloc_logp)
     can_trim = active & (tellf + (6 << BITRES) <= total_bits8)
-    trim_v, d = V.rd_dec_icdf(d, TRIM_ICDF, 7, can_trim)
+    trim_v, d = V.rd_dec_icdf(d, buf, lens, TRIM_ICDF, 7, can_trim)
     trim = _sel(can_trim, trim_v, 5)
     return offsets, trim, d
 
 
-def _interp_bits2pulses(d: V.RD, tabs: _ModeTabs, bits1, bits2, thresh,
-                        capj, total, skip_rsv, skip_start: int, active):
-    """Vectorized interp_bits2pulses, mono (celt_dec.c:397)."""
-    nb = tabs.nb
-    b = total.shape[0]
-    alloc_floor = 1 << BITRES
-    eB = tabs.eBands
-    lo = jnp.zeros((b,), i32)
-    hi = jnp.full((b,), 1 << ALLOC_STEPS, i32)
-    for _ in range(ALLOC_STEPS):
-        mid = (lo + hi) >> 1
-        psum = jnp.zeros((b,), i32)
-        done = jnp.zeros((b,), bool)
-        for j in range(nb - 1, -1, -1):
-            tmp = bits1[:, j] + ((mid * bits2[:, j]) >> ALLOC_STEPS)
-            use = (tmp >= thresh[:, j]) | done
-            psum = psum + _sel(use, jnp.minimum(tmp, capj[:, j]),
-                               _sel(tmp >= alloc_floor, alloc_floor, 0))
-            done = use
-        over = psum > total
-        hi = _sel(over, mid, hi)
-        lo = _sel(over, lo, mid)
-    psum = jnp.zeros((b,), i32)
-    done = jnp.zeros((b,), bool)
-    bits = jnp.zeros((b, nb), i32)
-    for j in range(nb - 1, -1, -1):
-        tmp = bits1[:, j] + ((lo * bits2[:, j]) >> ALLOC_STEPS)
-        low = (tmp < thresh[:, j]) & ~done
-        tmp = _sel(low, _sel(tmp >= alloc_floor, alloc_floor, 0), tmp)
-        done = done | ~low
-        tmp = jnp.minimum(tmp, capj[:, j])
-        bits = bits.at[:, j].set(tmp)
-        psum = psum + tmp
-
-    # skip decisions, working backwards (each band: maybe read one bit)
-    coded_bands = jnp.full((b,), nb, i32)
-    finished = ~active
-    total = total + jnp.where(jnp.zeros((b,), bool), 0, 0)
-    eBj = jnp.asarray(eB)
-    for j in range(nb - 1, skip_start, -1):
-        is_cur = (~finished) & (coded_bands == j + 1)
-        left = total - psum
-        den = int(eB[j + 1] - eB[0])
-        percoeff = left // den
-        left = left - den * percoeff
-        rem = jnp.maximum(left - (int(eB[j]) - int(eB[0])), 0)
-        band_width = int(eB[j + 1] - eB[j])
-        band_bits = bits[:, j] + percoeff * band_width + rem
-        th = jnp.maximum(thresh[:, j], alloc_floor + (1 << BITRES))
-        reads = is_cur & (band_bits >= th)
-        bit, d = V.rd_dec_bit_logp(d, 1, reads)
-        stop = reads & (bit != 0)
-        finished = finished | stop
-        adj = reads & ~stop
-        psum = _sel(adj, psum + (1 << BITRES), psum)
-        band_bits = _sel(adj, band_bits - (1 << BITRES), band_bits)
-        cont = is_cur & ~stop
-        keep_floor = band_bits >= alloc_floor
-        psum = _sel(cont, psum - bits[:, j]
-                    + _sel(keep_floor, alloc_floor, 0), psum)
-        bits = bits.at[:, j].set(
-            _sel(cont, _sel(keep_floor, alloc_floor, 0), bits[:, j]))
-        coded_bands = _sel(cont, coded_bands - 1, coded_bands)
-    # j <= skip_start ends the loop: total += skip_rsv
-    hit_bottom = (~finished) & (coded_bands == skip_start + 1)
-    total = total + _sel(finished | hit_bottom, skip_rsv, skip_rsv)
-    # (mono: intensity_rsv = dual_stereo_rsv = 0, no extra symbols)
-
-    left = total - psum
-    den = (eBj[coded_bands] - int(eB[0]))
-    percoeff = left // den
-    left = left - den * percoeff
-    jidx = jnp.arange(nb)
-    in_coded = jidx[None, :] < coded_bands[:, None]
-    widths = jnp.asarray(eB[1:] - eB[:-1], i32)
-    bits = bits + _sel(in_coded, percoeff[:, None] * widths[None, :], 0)
-    # left spread: tmp = min(left, width) per band in order
-    for j in range(nb):
-        take = jnp.minimum(left, int(eB[j + 1] - eB[j]))
-        use = in_coded[:, j]
-        bits = bits.at[:, j].add(_sel(use, take, 0))
-        left = _sel(use, left - take, left)
-
-    # fine energy split per band
-    ebits = jnp.zeros((b, nb), i32)
-    fine_priority = jnp.zeros((b, nb), i32)
-    balance = jnp.zeros((b,), i32)
-    logM = tabs.lm << BITRES
-    for j in range(nb):
-        n0 = int(eB[j + 1] - eB[j])
-        n = n0 << tabs.lm
-        in_c = in_coded[:, j]
-        bitj = bits[:, j] + balance
-        if n > 1:
-            excess = jnp.maximum(bitj - capj[:, j], 0)
-            bj = bitj - excess
-            den_ = n                       # C=1, no stereo extra
-            nclogn = den_ * (int(tabs.logN[j]) + logM)
-            offset = (nclogn >> 1) - den_ * FINE_OFFSET
-            if n == 2:
-                offset += den_ << BITRES >> 2
-            off1 = _sel(bj + offset < (den_ * 2 << BITRES),
-                        offset + (nclogn >> 2),
-                        _sel(bj + offset < (den_ * 3 << BITRES),
-                             offset + (nclogn >> 3), offset))
-            eb_ = jnp.maximum(bj + off1 + (den_ << (BITRES - 1)), 0)
-            eb_ = (eb_ // den_) >> BITRES
-            eb_ = _sel(eb_ > (bj >> BITRES), bj >> BITRES, eb_)
-            eb_ = jnp.minimum(eb_, MAX_FINE_BITS)
-            fp = (eb_ * (den_ << BITRES) >= bj + off1).astype(i32)
-            bj = bj - (eb_ << BITRES)
-        else:
-            excess = jnp.maximum(0, bitj - (1 << BITRES))
-            bj = bitj - excess
-            eb_ = jnp.zeros((b,), i32)
-            fp = jnp.ones((b,), i32)
-        has_ex = excess > 0
-        extra_fine = jnp.minimum(excess >> BITRES,
-                                 MAX_FINE_BITS - eb_)
-        eb2 = eb_ + _sel(has_ex, extra_fine, 0)
-        extra_bits = extra_fine << BITRES
-        fp = _sel(has_ex, (extra_bits >= excess - balance).astype(i32), fp)
-        excess = _sel(has_ex, excess - extra_bits, excess)
-        new_balance = excess
-        # uncoded bands: ebits = bits >> BITRES, bits = 0
-        unc_eb = bits[:, j] >> BITRES
-        ebits = ebits.at[:, j].set(_sel(in_c, eb2, unc_eb))
-        fine_priority = fine_priority.at[:, j].set(
-            _sel(in_c, fp, (unc_eb < 1).astype(i32)))
-        bits = bits.at[:, j].set(_sel(in_c, bj, 0))
-        balance = _sel(in_c, new_balance, balance)
-    return coded_bands, balance, bits, ebits, fine_priority, d
-
-
-def _compute_allocation(d: V.RD, tabs: _ModeTabs, offsets, trim, total,
+def _compute_allocation(d: V.RD, buf, lens, tabs: _ModeTabs, offsets,
+                        trim, total,
                         active):
     """compute_allocation, mono decode (celt_dec.c:556)."""
     nb = tabs.nb
@@ -509,11 +389,12 @@ def _compute_allocation(d: V.RD, tabs: _ModeTabs, offsets, trim, total,
         bits2 = bits2.at[:, j].set(b2)
     # NOTE: skip_start is per stream but the skip loop below uses a
     # static python range; pass the dynamic value into the masked loop
-    return _interp_vec(d, tabs, bits1, bits2, thresh, capj, total,
-                       skip_rsv, skip_start, active)
+    return _interp_vec(d, buf, lens, tabs, bits1, bits2, thresh, capj,
+                       total, skip_rsv, skip_start, active)
 
 
-def _interp_vec(d, tabs, bits1, bits2, thresh, capj, total, skip_rsv,
+def _interp_vec(d, buf, lens, tabs, bits1, bits2, thresh, capj, total,
+                skip_rsv,
                 skip_start, active):
     """interp_bits2pulses with a dynamic skip_start lane."""
     nb = tabs.nb
@@ -563,7 +444,7 @@ def _interp_vec(d, tabs, bits1, bits2, thresh, capj, total, skip_rsv,
         band_bits = bits[:, j] + percoeff * band_width + rem
         th = jnp.maximum(thresh[:, j], alloc_floor + (1 << BITRES))
         reads = is_cur & (band_bits >= th)
-        bit, d = V.rd_dec_bit_logp(d, 1, reads)
+        bit, d = V.rd_dec_bit_logp(d, buf, lens, 1, reads)
         stop = reads & (bit != 0)
         finished = finished | stop
         adj = reads & ~stop
@@ -637,3 +518,103 @@ def _interp_vec(d, tabs, bits1, bits2, thresh, capj, total, skip_rsv,
         bits = bits.at[:, j].set(_sel(in_c, bj, 0))
         balance = _sel(in_c, excess2, balance)
     return coded_bands, balance, bits, ebits, fine_priority, d
+
+
+# ===================================================================== #
+# assembled planning pass: header -> allocation -> fine energy          #
+# ===================================================================== #
+
+@partial(jax.jit, static_argnames=("fs", "frame_size"))
+def fused_celt_plan(buf, lens, old_e, *, fs: int = 48000,
+                    frame_size: int = 960):
+    """Decode the CELT frame "planning" symbols for a [B]-batch of
+    packets on device: silence, postfilter, transient, intra, coarse
+    energy, tf resolution, spread, dynalloc, trim, allocation and fine
+    energy (reference order: celt_decode_with_ec
+    celt/celt_decoder.c:1209-1462).  Mono, start=0, end=nbEBands.
+
+    buf: [B, S] i32 payload bytes; lens: [B]; old_e: [B, nb] f64 energy
+    memory.  Returns a dict of per-stream symbol tensors plus the
+    decoder state `d` (for the coming PVQ stage) and the error lane."""
+    tabs = _ModeTabs(fs, frame_size)
+    nb = tabs.nb
+    b = buf.shape[0]
+    d = V.rd_init(buf, lens)
+    active = jnp.ones((b,), bool)
+    total_bits = lens * 8
+
+    tell = V.rd_tell(d)
+    sil_read = active & (tell == 1)
+    sil_bit, d = V.rd_dec_bit_logp(d, buf, lens, 15, sil_read)
+    silence = _sel(tell >= total_bits, 1, _sel(sil_read, sil_bit, 0))
+    # silence consumes the rest of the frame (celt_decoder.c:1255)
+    d = d._replace(nbits_total=_sel(silence != 0,
+                                    total_bits - V.rd_tell(d)
+                                    + d.nbits_total, d.nbits_total))
+    live = active & (silence == 0)
+
+    # ---- postfilter (start==0; celt_decoder.c:1262-1288) ----
+    tell = V.rd_tell(d)
+    pf_read = live & (tell + 16 <= total_bits)
+    pf_on, d = V.rd_dec_bit_logp(d, buf, lens, 1, pf_read)
+    pf = pf_read & (pf_on != 0)
+    octave, d = V.rd_dec_uint(d, buf, lens, jnp.full((b,), 6, i32), pf)
+    pbits, d = V.rd_dec_bits(d, buf, lens,
+                             jnp.where(pf, 4 + octave, 0), pf)
+    pf_pitch = _sel(pf, (16 << octave) + pbits - 1, 0)
+    qg, d = V.rd_dec_bits(d, buf, lens, jnp.where(pf, 3, 0), pf)
+    tp_read = pf & (V.rd_tell(d) + 2 <= total_bits)
+    tapset, d = V.rd_dec_icdf(d, buf, lens, TAPSET_ICDF, 2, tp_read)
+    pf_tapset = _sel(tp_read, tapset, 0)
+    pf_gain = jnp.where(pf, 0.09375 * (qg + 1).astype(jnp.float64), 0.0)
+
+    # ---- transient + intra (celt_decoder.c:1290-1302) ----
+    tell = V.rd_tell(d)
+    tr_read = live & (tell + 3 <= total_bits) if tabs.lm > 0 else \
+        jnp.zeros((b,), bool)
+    tr, d = V.rd_dec_bit_logp(d, buf, lens, 3, tr_read)
+    is_transient = _sel(tr_read, tr, 0)
+    tell = V.rd_tell(d)
+    in_read = live & (tell + 3 <= total_bits)
+    intra, d = V.rd_dec_bit_logp(d, buf, lens, 3, in_read)
+    intra = _sel(in_read, intra, 0)
+
+    # ---- coarse energy + tf + spread ----
+    old_e, d = _coarse_energy(d, buf, lens, tabs, old_e, intra,
+                              total_bits, live)
+    tf_res, d = _tf_decode(d, buf, lens, tabs, is_transient != 0,
+                           total_bits, live)
+    tell = V.rd_tell(d)
+    sp_read = live & (tell + 4 <= total_bits)
+    spv, d = V.rd_dec_icdf(d, buf, lens, SPREAD_ICDF, 5, sp_read)
+    spread = _sel(sp_read, spv, SPREAD_NORMAL)
+
+    # ---- dynalloc + trim + allocation ----
+    offsets, trim, d = _dynalloc(d, buf, lens, tabs, total_bits,
+                                 int(buf.shape[1]), live)
+    bits_left = (lens * 8 << BITRES) - V.rd_tell_frac(d) - 1
+    ac_rsv = jnp.where((is_transient != 0) & (tabs.lm >= 2)
+                       & (bits_left >= ((tabs.lm + 2) << BITRES)),
+                       1 << BITRES, 0)
+    bits_left = bits_left - ac_rsv
+    (coded_bands, balance, pulses, ebits, fine_priority, d) = \
+        _compute_allocation(d, buf, lens, tabs, offsets, trim,
+                            bits_left, live)
+
+    # ---- fine energy (unquant_fine_energy, quant_bands.c:556) ----
+    for i in range(nb):
+        fq = ebits[:, i]
+        has = live & (fq > 0)
+        q2, d = V.rd_dec_bits(d, buf, lens, jnp.where(has, fq, 0), has)
+        offs = (q2.astype(jnp.float64) + 0.5) \
+            * jnp.exp2(-fq.astype(jnp.float64)) - 0.5
+        old_e = old_e.at[:, i].set(
+            jnp.where(has, old_e[:, i] + offs, old_e[:, i]))
+
+    return dict(silence=silence, pf_pitch=pf_pitch, pf_gain=pf_gain,
+                pf_tapset=pf_tapset, is_transient=is_transient,
+                intra=intra, energies=old_e, tf_res=tf_res,
+                spread=spread, offsets=offsets, trim=trim,
+                coded_bands=coded_bands, balance=balance, pulses=pulses,
+                ebits=ebits, fine_priority=fine_priority,
+                anti_collapse_rsv=ac_rsv, error=d.error), d
