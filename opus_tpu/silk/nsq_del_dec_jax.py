@@ -86,8 +86,10 @@ def _analysis_fir_1d(inp, a_q12, n, order: int):
     base = jnp.arange(n)
     for j in range(order):
         acc = acc + _smulbb(pad[base + order - 1 - j], a_q12[j])
-    # out32 = LSHIFT(inp,12) - LSHIFT(acc,1), then RSHIFT_ROUND 12, SAT16
-    out32 = (inp << 12) - (acc << 1)
+    # out32 = SUB32_ovflw(LSHIFT(inp,12), acc), then RSHIFT_ROUND 12,
+    # SAT16 (reference silk/LPC_analysis_filter.c:99 — plain subtract,
+    # no doubling; int32 wrap is native jnp int32 arithmetic)
+    out32 = (inp << 12) - acc
     out = sat16(rshift_round(out32, 12))
     return jnp.where(base < order, 0, out)
 

@@ -10,8 +10,13 @@ import opus_tpu.silk.nsq_del_dec as ndd
 from opus_tpu.models.opus_encoder import OpusEncoder
 
 
-def _capture_calls(fs, bitrate, seconds=0.6, seed=5, max_calls=12):
-    """Run a real encode and snapshot every silk_nsq_del_dec call."""
+def _capture_calls(fs, bitrate, seconds=1.2, seed=5, max_calls=20):
+    """Run a real encode and snapshot every silk_nsq_del_dec call.
+
+    The signal is strongly periodic (harmonic stack at ~110 Hz) so the
+    capture reliably includes TYPE_VOICED frames — the voiced paths
+    (LTP rewhitening FIR, pitch-lag decision delay, mid-frame winner
+    flush) are where bugs have hidden before."""
     calls = []
     orig = ndd.silk_nsq_del_dec
 
@@ -35,10 +40,11 @@ def _capture_calls(fs, bitrate, seconds=0.6, seed=5, max_calls=12):
         se_orig = getattr(se, "silk_nsq_del_dec", None)
         rng = np.random.default_rng(seed)
         t = np.arange(int(fs * seconds)) / fs
-        f0 = 120 * (1 + 0.1 * np.sin(2 * np.pi * 0.7 * t))
-        sig = np.clip(0.4 * np.sin(2 * np.pi * np.cumsum(f0) / fs)
-                      * (0.4 + 0.6 * (np.sin(2 * np.pi * 1.3 * t) > 0))
-                      + 0.02 * rng.standard_normal(len(t)), -1, 1)
+        f0 = 110 * (1 + 0.02 * np.sin(2 * np.pi * 0.8 * t))
+        ph = 2 * np.pi * np.cumsum(f0) / fs
+        sig = sum((1.0 / h) * np.sin(h * ph) for h in range(1, 9))
+        sig = 0.45 * sig / np.max(np.abs(sig))
+        sig = np.clip(sig + 0.002 * rng.standard_normal(len(t)), -1, 1)
         enc = OpusEncoder(fs, 1, application="voip")
         enc.set_bitrate(bitrate)
         n = fs // 50
@@ -67,6 +73,10 @@ def test_nsq_del_dec_jax_bit_exact(fs, bitrate):
 
     calls = _capture_calls(fs, bitrate)
     assert calls, "no delayed-decision NSQ calls captured"
+    kinds = {(c["indices"].signalType, c["indices"].NLSFInterpCoef_Q2 == 4)
+             for c in calls}
+    assert (2, True) in kinds, "no voiced (full-NLSF) calls captured"
+    assert (2, False) in kinds, "no voiced NLSF-interpolated calls captured"
     for ci, call in enumerate(calls):
         p_ref, nsq_ref, ind_ref = _replay(ndd.silk_nsq_del_dec, call)
         p_jax, nsq_jax, ind_jax = _replay(silk_nsq_del_dec_jax, call)
