@@ -351,8 +351,8 @@ class OpusEncoder:
                 dredmod.DRED_MIN_BYTES + DRED_EXPERIMENTAL_BYTES:
             return packet
         # q0/dQ from rate (reference: compute_dred_bitrate :710-712)
-        bitrate = self.bitrate or self._default_bitrate(
-            self.prev_framesize or self.fs // 50)
+        bitrate = self._resolve_bitrate(
+            self.prev_framesize or self.fs // 50, max_data_bytes)
         rate_off = bitrate - 12000
         q0 = min(15, max(4, 51 - 3 * max(1, rate_off).bit_length()))
         dq = 3 if rate_off > 36000 else 5
@@ -375,6 +375,15 @@ class OpusEncoder:
     def _default_bitrate(self, frame_size):
         # (reference: user_bitrate_to_bitrate, OPUS_AUTO case)
         return 60 * self.fs // frame_size + self.fs * self.channels
+
+    def _resolve_bitrate(self, frame_size, max_data_bytes):
+        """(reference: user_bitrate_to_bitrate src/opus_encoder.c:787):
+        None = OPUS_AUTO, -1 = OPUS_BITRATE_MAX (fill the buffer)."""
+        if self.bitrate is None:
+            return self._default_bitrate(frame_size)
+        if self.bitrate == OPUS_BITRATE_MAX:
+            return max_data_bytes * 8 * self.fs // frame_size
+        return self.bitrate
 
     # -- main entry -------------------------------------------------------
     def encode24(self, pcm: np.ndarray, frame_size: int,
@@ -399,6 +408,9 @@ class OpusEncoder:
                                     self.fs * 32, self.fs * 40,
                                     self.fs * 48):
             raise ValueError(f"unsupported frame size {frame_size}")
+        starved = self._starved_early_out(frame_size, max_data_bytes)
+        if starved is not None:
+            return starved
         if ms <= 20:
             return self._encode_frame(pcm, frame_size, max_data_bytes)
         silk_mode = self._long_frame_mode_is_silk(frame_size,
@@ -411,6 +423,62 @@ class OpusEncoder:
         return self._encode_split(pcm, frame_size, max_data_bytes,
                                   silk_mode)
 
+    def _starved_early_out(self, frame_size, max_data_bytes):
+        """Emit a TOC-only 'PLC' packet when the byte budget is too low
+        to code anything useful (reference: src/opus_encoder.c:1341-1406).
+        Returns the packet, or None when the budget is workable."""
+        fs = self.fs
+        frame_rate = fs // frame_size
+        bitrate = self._resolve_bitrate(frame_size, max_data_bytes)
+        bitrate = max(500, min(300000 * self.channels, bitrate))
+        if not self.vbr:
+            cbr_bytes = min((bitrate + 4 * frame_rate)
+                            // (8 * frame_rate), max_data_bytes)
+            bitrate = cbr_bytes * 8 * frame_rate
+            max_data_bytes = max(1, cbr_bytes)
+        if not (max_data_bytes < 3 or bitrate < 3 * frame_rate * 8
+                or (frame_rate < 50
+                    and (max_data_bytes * frame_rate < 300
+                         or bitrate < 2400))):
+            return None
+        tocmode = self.prev_mode
+        bw = self.bandwidth if self.bandwidth else BW_NB
+        packet_code = 0
+        num_multiframes = 0
+        if tocmode == 0:
+            tocmode = MODE_SILK_ONLY
+        if frame_rate > 100:
+            tocmode = MODE_CELT_ONLY
+        if frame_rate == 25 and tocmode != MODE_SILK_ONLY:
+            frame_rate = 50
+            packet_code = 1
+        if frame_rate <= 16:
+            if max_data_bytes == 1 \
+                    or (tocmode == MODE_SILK_ONLY and frame_rate != 10):
+                tocmode = MODE_SILK_ONLY
+                packet_code = 1 if frame_rate <= 12 else 0
+                frame_rate = 25 if frame_rate == 12 else 16
+            else:
+                num_multiframes = 50 // frame_rate
+                frame_rate = 50
+                packet_code = 3
+        if tocmode == MODE_SILK_ONLY and bw > BW_WB:
+            bw = BW_WB
+        elif tocmode == MODE_CELT_ONLY and bw == BW_MB:
+            bw = BW_NB
+        elif tocmode == MODE_HYBRID and bw <= BW_SWB:
+            bw = BW_SWB
+        toc = pkt.gen_toc(tocmode, frame_rate, bw,
+                          self.prev_channels) | packet_code
+        packet = bytes([toc])
+        if packet_code == 3:
+            packet += bytes([num_multiframes])
+        self.rangeFinal = 0
+        if not self.vbr:
+            packet = pkt.packet_pad(packet, max(max_data_bytes,
+                                                len(packet)))
+        return packet
+
     def _long_frame_mode_is_silk(self, frame_size, max_data_bytes) -> bool:
         """Whether a >20 ms frame will be coded as SILK (reference: the
         st->mode decision feeding frame_size_select and the split loop,
@@ -420,7 +488,7 @@ class OpusEncoder:
             return False
         if self.user_forced_mode == MODE_SILK_ONLY:
             return True
-        bitrate = self.bitrate or self._default_bitrate(frame_size)
+        bitrate = self._resolve_bitrate(frame_size, max_data_bytes)
         # rough equivalent of the threshold machine: long frames are
         # only useful at low rates, where SILK wins for speech apps
         return bitrate <= (36000 if self.application == "voip" else 28000)
@@ -443,7 +511,7 @@ class OpusEncoder:
             enc_frame = fs // 50
         nb = frame_size // enc_frame
         max_header = 3 if nb == 2 else 2 + (nb - 1) * 2
-        bitrate = self.bitrate or self._default_bitrate(frame_size)
+        bitrate = self._resolve_bitrate(frame_size, max_data_bytes)
         if self.vbr:
             repacketize_len = max_data_bytes
         else:
@@ -455,6 +523,13 @@ class OpusEncoder:
         # scalar API does not emit; hold DTX off for the pieces
         dtx_bak = self.use_dtx
         self.use_dtx = False
+        # every subframe must share one TOC config: pin mode, bandwidth
+        # and channel count to the first subframe's decision (reference:
+        # the bak_mode/bak_bandwidth save + user_forced_mode pinning
+        # around the split loop, src/opus_encoder.c:1735-1840)
+        bak_mode = self.user_forced_mode
+        bak_bw = self.user_bandwidth
+        bak_fc = self.force_channels
         try:
             tot = 0
             for i in range(nb):
@@ -464,11 +539,18 @@ class OpusEncoder:
                     pcm[i * ch * enc_frame:(i + 1) * ch * enc_frame],
                     enc_frame, max(curr_max, 2),
                     force_silk=silk_mode)
+                if i == 0 and len(p) >= 1:
+                    self.user_forced_mode = pkt.packet_get_mode(p)
+                    self.user_bandwidth = pkt.packet_get_bandwidth(p)
+                    self.force_channels = pkt.packet_get_nb_channels(p)
                 if rp.cat(p) < 0:
                     raise RuntimeError("repacketizer rejected subframe")
                 tot += len(p)
         finally:
             self.use_dtx = dtx_bak
+            self.user_forced_mode = bak_mode
+            self.user_bandwidth = bak_bw
+            self.force_channels = bak_fc
         out = rp.out_range(0, nb, repacketize_len, pad=not self.vbr)
         if isinstance(out, int):
             raise RuntimeError(f"repacketize failed ({out})")
@@ -481,7 +563,7 @@ class OpusEncoder:
         channels = self.channels
         frame_rate = fs // frame_size
         max_data_bytes = min(max_data_bytes, 1276)
-        bitrate = self.bitrate or self._default_bitrate(frame_size)
+        bitrate = self._resolve_bitrate(frame_size, max_data_bytes)
         bitrate = max(500, min(300000 * channels, bitrate))
         if not self.vbr:
             # CBR: the packet size IS the byte budget (reference
@@ -1042,9 +1124,12 @@ class OpusEncoder:
             self.nb_no_activity_ms_Q1 = 0
 
         if ec_tell(enc) > (max_data_bytes - 1) * 8:
+            # busted the byte target: emit a PLC frame (reference :2589
+            # also zeroes the final range, since the decoder conceals)
             if max_data_bytes < 2:
                 raise RuntimeError("buffer too small")
             payload = b"\x00"
+            self.rangeFinal = 0
         elif mode == MODE_SILK_ONLY and not redundancy:
             body = bytearray(enc.buf[:ret])
             while len(body) > 2 and body[-1] == 0:

@@ -1328,6 +1328,10 @@ class SilkEncoder:
             if ch.fs_kHz != fs_khz or ch.fs_API_hz != api_fs_hz \
                     or ch.nb_subfr != (2 if frame_ms == 10 else 4):
                 ch.setup(fs_khz, api_fs_hz, frame_ms, complexity)
+                # pending LBRR data was built against the old fs/codebook
+                # tables; the reference drops it on any transition
+                # (enc_API.c:268-272)
+                ch.LBRR_flags = [0, 0, 0]
             ch.packet_loss_perc = packet_loss_perc
             ch.use_cbr = 1 if use_cbr else 0
             ch.nFramesDecoded = 0
