@@ -1,0 +1,1509 @@
+"""Fully fused CELT decode symbol pass, kernel-form: packets in, symbol
+tensors + normalized band shapes out, traceable inside one Pallas TPU
+kernel (and runnable as plain jnp on CPU for differential tests).
+
+This is the production end state of SURVEY.md §7: the whole decode below
+packet parse — range decoding, coarse/fine energy, tf, dynalloc, trim,
+allocation, PVQ/CWRS with the band-split recursion, folding,
+anti-collapse and energy finalise — as masked lane-vector ops over a
+shape-agnostic stream axis ([B] on CPU tests, [R, 128] inside the
+kernel).  The entropy coder is opus_tpu/ops/rc_kernel.py.
+
+Key vectorization moves (vs the scalar celt/{decoder,bands,cwrs}.py and
+the reference celt/celt_decoder.c:1619, bands.c:973/1245/1589,
+cwrs.c:467, vq.c:621, rate.c:249/535):
+
+  * the band-split recursion is walked as a static binary tree (node
+    depth d has static n = N>>d and lm = LM-d); whether a lane splits at
+    a node is a per-lane mask, and the per-lane mid/side *visit order*
+    (mbits >= sbits) is handled by visiting children in fixed order
+    with per-lane parameter swaps, then mapping results back,
+  * all icdf/cache/U-V table accesses are unrolled as python-int
+    literals at trace time (immediate operands; no per-lane gathers),
+  * CWRS pulse decoding replaces the scalar downward k searches with
+    prefix counts over the static U(:, n) column (U is strictly
+    increasing in k), one column sweep per coefficient,
+  * data-dependent loop bounds that valid streams cannot exceed use
+    masked iteration caps; a stream that would exceed one sets its
+    `error` lane for scalar redecode.
+
+Scope: mono, start=0, end=nbEBands, no loss handling (PLC falls back to
+the scalar path), no QEXT extension payload.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..celt import cwrs
+from ..celt.modes import mode_create, get_pulses
+from ..celt.tables import E_PROB_MODEL, E_MEANS
+from ..ops import rc_kernel as K
+from ..ops.rc_kernel import i32, u32, _sel, _ilog
+
+BITRES = 3
+MAX_FINE_BITS = 8
+FINE_OFFSET = 21
+QTHETA_OFFSET = 4
+ALLOC_STEPS = 6
+SPREAD_NONE = 0
+SPREAD_NORMAL = 2
+SPREAD_AGGRESSIVE = 3
+LAPLACE_CAP = 40        # masked-iteration cap; overflow sets error
+
+PRED_COEF = (29440 / 32768., 26112 / 32768., 21248 / 32768.,
+             16384 / 32768.)
+BETA_COEF = (30147 / 32768., 22282 / 32768., 12124 / 32768., 6554 / 32768.)
+BETA_INTRA = 4915 / 32768.
+SMALL_ENERGY_ICDF = (2, 1, 0)
+TRIM_ICDF = (126, 124, 119, 109, 87, 41, 19, 9, 4, 2, 0)
+SPREAD_ICDF = (25, 23, 2, 0)
+TAPSET_ICDF = (2, 1, 0)
+TF_SELECT_TABLE = ((0, -1, 0, -1, 0, -1, 0, -1),
+                   (0, -1, 0, -2, 1, 0, 1, -1),
+                   (0, -2, 0, -3, 2, 0, 1, -1),
+                   (0, -2, 0, -3, 3, 0, 1, -1))
+EXP2_TABLE8 = (16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048)
+BIT_INTERLEAVE_TABLE = (0, 1, 1, 1, 2, 3, 3, 3, 2, 3, 3, 3, 2, 3, 3, 3)
+BIT_DEINTERLEAVE_TABLE = (0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x3C, 0x3F,
+                          0xC0, 0xC3, 0xCC, 0xCF, 0xF0, 0xF3, 0xFC, 0xFF)
+ORDERY_TABLE = {2: (1, 0), 4: (3, 0, 2, 1), 8: (7, 0, 4, 3, 6, 1, 5, 2)}
+NORM = 1.0
+EPS = 1e-15
+
+f32 = jnp.float32
+
+
+# ===================================================================== #
+# literal-table helpers (all unrolled at trace time)                    #
+# ===================================================================== #
+
+def _tree_sum(parts):
+    parts = list(parts)
+    while len(parts) > 1:
+        nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
+def _count_le_u32(lits, x):
+    """#{t : lits[t] <= x} with x u32, lits python ints (sorted asc)."""
+    return _tree_sum([(x >= u32(v)).astype(i32) for v in lits])
+
+
+def _count_lt_i32(lits, x):
+    """#{t : lits[t] < x} with x i32."""
+    return _tree_sum([(x > i32(v)).astype(i32) for v in lits])
+
+
+def _lit_lookup(lits, idx, dtype=i32):
+    """lits[idx] via a select chain (idx i32 array clipped to range)."""
+    out = jnp.full(idx.shape, lits[0], dtype)
+    for t, v in enumerate(lits[1:], 1):
+        out = _sel(idx == t, jnp.asarray(v, dtype), out)
+    return out
+
+
+def _isqrt(x):
+    """floor(sqrt(x)) exactly for 0 <= x < 2**24 (i32)."""
+    s = jnp.sqrt(x.astype(f32)).astype(i32)
+    s = s - (s * s > x).astype(i32)
+    s = s + ((s + 1) * (s + 1) <= x).astype(i32)
+    return s
+
+
+def _frac_mul16(a, b):
+    return (16384 + a * b) >> 15
+
+
+def _bitexact_cos(x):
+    tmp = (4096 + x * x) >> 13
+    x2 = tmp
+    x2 = (32767 - x2) + _frac_mul16(
+        x2, -7651 + _frac_mul16(x2, 8277 + _frac_mul16(
+            jnp.full_like(x2, -626), x2)))
+    return 1 + x2
+
+
+def _bitexact_log2tan(isin, icos):
+    lc = _ilog(icos.astype(u32))
+    ls = _ilog(isin.astype(u32))
+    icos = icos << (15 - lc).astype(u32)
+    isin = isin << (15 - ls).astype(u32)
+    return ((ls - lc) * (1 << 11)
+            + _frac_mul16(isin, _frac_mul16(isin,
+                                            jnp.full_like(isin, -2597))
+                          + 7932)
+            - _frac_mul16(icos, _frac_mul16(icos,
+                                            jnp.full_like(icos, -2597))
+                          + 7932))
+
+
+def _lcg(seed):
+    return (seed.astype(u32) * u32(1664525) + u32(1013904223))
+
+
+# ===================================================================== #
+# static mode tables                                                    #
+# ===================================================================== #
+
+_MAX_K = 132
+
+
+_U32_SAT = (1 << 32) - 1
+
+
+@lru_cache(maxsize=None)
+def _u_col(n: int, cap: int) -> tuple:
+    """U(t, n) for t in 0..cap as python ints (strictly increasing for
+    t >= 1).  Saturated at 2**32-1: valid streams only reach (t, n)
+    combos whose codebook fits in 32 bits (cwrs.c row construction), so
+    saturated entries are never selected and only serve as +inf bounds
+    in the prefix counts."""
+    return tuple(min(cwrs.pvq_u(t, n), _U32_SAT) for t in range(cap + 1))
+
+
+@lru_cache(maxsize=None)
+def _v_row(n: int, cap: int) -> tuple:
+    """V(n, k) for k in 0..cap as python ints (saturated, see _u_col)."""
+    return tuple(min(cwrs.pvq_v(n, k), _U32_SAT) for k in range(cap + 1))
+
+
+class DecTabs:
+    """Static per-(fs, frame_size) tables for the fused decoder."""
+
+    def __init__(self, fs: int, frame_size: int):
+        mode = mode_create(fs, frame_size)
+        self.mode = mode
+        lm = 0
+        while mode.shortMdctSize << lm != frame_size:
+            lm += 1
+        self.lm = lm
+        m = 1 << lm
+        self.M = m
+        nb = mode.nbEBands
+        self.nb = nb
+        self.eBands = np.asarray(mode.eBands[:nb + 1], np.int32)
+        self.width = ((self.eBands[1:] - self.eBands[:-1]) * m).astype(int)
+        self.logN = [int(v) for v in mode.logN[:nb]]
+        self.allocV = np.asarray(mode.allocVectors, np.uint8).reshape(
+            mode.nbAllocVectors, nb).astype(int)
+        caps8 = np.asarray(mode.cache.caps, np.uint8)
+        self.caps = [
+            (int(caps8[lm * 2 * nb + i]) + 64) * int(self.width[i]) >> 2
+            for i in range(nb)]
+        idx = np.asarray(mode.cache.index, np.int16).reshape(-1, nb)
+        bits_tab = np.asarray(mode.cache.bits, np.uint8)
+        self.cache_rows = {}
+        for lmn in range(-1, lm + 1):
+            for band in range(nb):
+                off = int(idx[lmn + 1, band])
+                ln = int(bits_tab[off])
+                self.cache_rows[(lmn, band)] = [
+                    int(v) for v in bits_tab[off:off + ln + 1]]
+        self.e_prob = [[int(v) for v in E_PROB_MODEL[lm][intra]]
+                      for intra in range(2)]
+
+
+# ===================================================================== #
+# planning pass: header -> allocation -> fine energy                    #
+# (kernel-form port of fused_celt_dec.fused_celt_plan)                  #
+# ===================================================================== #
+
+def _laplace_decode(d, buf, lens, fs0, decay, active):
+    """Vectorized ec_laplace_decode (laplace.c); fs0/decay: i32 lanes."""
+    fm, d = K.rk_decode(d, jnp.full_like(fs0, 32768), active)
+    ge = active & (fm >= fs0)
+    val = _sel(ge, 1, 0)
+    fl = _sel(ge, fs0, 0)
+    ft1 = ((32768 - 2 * 16 - fs0) * (16384 - decay)) >> 15
+    fs = _sel(ge, ft1 + 1, fs0)
+
+    def _step(t, carry):
+        fs, fl, val, running = carry
+        cond = running & (fs > 1) & (fm >= fl + 2 * fs)
+        fs2 = fs * 2
+        fs = _sel(cond, (((fs2 - 2) * decay) >> 15) + 1, fs)
+        fl = _sel(cond, fl + fs2, fl)
+        val = _sel(cond, val + 1, val)
+        return fs, fl, val, cond
+
+    fs, fl, val, _run = jax.lax.fori_loop(
+        0, LAPLACE_CAP, _step, (fs, fl, val, ge))
+    overflow = ge & (fs > 1) & (fm >= fl + 2 * fs)
+    di = _sel(ge & (fs <= 1), (fm - fl) >> 1, 0)
+    val = val + di
+    fl = fl + 2 * di
+    neg = ge & (fm < fl + fs)
+    val = _sel(ge, _sel(neg, -val, val), 0)
+    fl = _sel(ge & ~neg, fl + fs, fl)
+    fh = jnp.minimum(fl + fs, 32768)
+    d = K.rk_update(d, buf, lens, fl, fh, 32768, active)
+    d = dict(d)
+    d["error"] = d["error"] | (overflow & active).astype(i32)
+    return val, d
+
+
+def _coarse_energy(d, buf, lens, tabs: DecTabs, old_e, intra, total_bits,
+                   active):
+    """unquant_coarse_energy (quant_bands.c), mono.  old_e: list of nb
+    [sh] f32 regs, updated in place (returns new list)."""
+    lm = tabs.lm
+    intra_b = intra.astype(bool)
+    coef = _sel(intra_b, f32(0.0), f32(PRED_COEF[lm]))
+    beta = _sel(intra_b, f32(BETA_INTRA), f32(BETA_COEF[lm]))
+    old_e = list(old_e)
+    prev = jnp.zeros_like(old_e[0])
+    for i in range(tabs.nb):
+        tell = K.rk_tell(d)
+        big = active & (total_bits - tell >= 15)
+        med = active & ~big & (total_bits - tell >= 2)
+        tiny = active & ~big & ~med & (total_bits - tell >= 1)
+        pi = 2 * min(i, 20)
+        fs0 = _sel(intra_b, i32(tabs.e_prob[1][pi] << 7),
+                   i32(tabs.e_prob[0][pi] << 7))
+        decay = _sel(intra_b, i32(tabs.e_prob[1][pi + 1] << 6),
+                     i32(tabs.e_prob[0][pi + 1] << 6))
+        qi_l, d = _laplace_decode(d, buf, lens, fs0, decay, big)
+        s_m, d = K.rk_dec_icdf(d, buf, lens, SMALL_ENERGY_ICDF, 2, med)
+        qi_m = (s_m >> 1) ^ -(s_m & 1)
+        b_t, d = K.rk_dec_bit_logp(d, buf, lens, 1, tiny)
+        qi = _sel(big, qi_l, _sel(med, qi_m, _sel(tiny, -b_t, -1)))
+        q = qi.astype(f32)
+        old = jnp.maximum(old_e[i], f32(-9.0))
+        new_e = coef * old + prev + q
+        old_e[i] = _sel(active, new_e, old_e[i])
+        prev = _sel(active, prev + q - beta * q, prev)
+    return old_e, d
+
+
+def _tf_decode(d, buf, lens, tabs: DecTabs, is_transient, total_bits,
+               active):
+    """tf_decode (celt_decoder.c tf_decode).  Returns list of nb
+    per-band tf_change lanes."""
+    lm = tabs.lm
+    tsel = TF_SELECT_TABLE[lm]
+    budget = total_bits
+    tell = K.rk_tell(d)
+    logp0 = _sel(is_transient, 2, 4)
+    tf_select_rsv = (lm > 0) & (tell + logp0 + 1 <= budget)
+    budget = budget - tf_select_rsv.astype(i32)
+    curr = jnp.zeros_like(tell)
+    tf_changed = jnp.zeros_like(tell)
+    tf_res = []
+    for i in range(tabs.nb):
+        lo_logp = 2 if i == 0 else 4
+        hi_logp = 4 if i == 0 else 5
+        logp = _sel(is_transient, lo_logp, hi_logp)
+        can = active & (tell + logp <= budget)
+        bit, d = K.rk_dec_bit_logp(
+            d, buf, lens, _sel(is_transient, u32(lo_logp), u32(hi_logp)),
+            can)
+        curr = _sel(can, curr ^ bit, curr)
+        tell = K.rk_tell(d)
+        tf_changed = tf_changed | curr
+        tf_res.append(curr)
+    it4 = 4 * is_transient.astype(i32)
+    t_a = _lit_lookup(tsel, it4 + 0 + tf_changed)
+    t_b = _lit_lookup(tsel, it4 + 2 + tf_changed)
+    sel_bit, d = K.rk_dec_bit_logp(d, buf, lens, 1,
+                                   active & tf_select_rsv & (t_a != t_b))
+    out = [_lit_lookup(tsel, it4 + 2 * sel_bit + t) for t in tf_res]
+    return out, d
+
+
+def _dynalloc(d, buf, lens, tabs: DecTabs, total_bits, nbytes_cap: int,
+              active):
+    """dynalloc boost decode; returns (offsets list[nb], trim, state)."""
+    nb = tabs.nb
+    total_bits8 = total_bits << BITRES
+    tellf = K.rk_tell_frac(d)
+    dynalloc_logp = jnp.full_like(tellf, 6)
+    offsets = []
+    for i in range(nb):
+        width = int(tabs.width[i])
+        quanta = min(width << BITRES, max(6 << BITRES, width))
+        cap_i = int(tabs.caps[i])
+        trips = min((cap_i + quanta - 1) // quanta,
+                    (nbytes_cap * 8 << BITRES) // quanta + 1)
+
+        def _trip(t, carry):
+            d, tellf, boost, tb8, loop_logp, running = carry
+            can = running & (tellf + (loop_logp << BITRES) < tb8) \
+                & (boost < cap_i)
+            flag, d = K.rk_dec_bit_logp(
+                d, buf, lens, loop_logp.astype(u32), can)
+            tellf = K.rk_tell_frac(d)
+            got = can & (flag != 0)
+            boost = _sel(got, boost + quanta, boost)
+            tb8 = _sel(got, tb8 - quanta, tb8)
+            loop_logp = _sel(got, jnp.ones_like(loop_logp), loop_logp)
+            return d, tellf, boost, tb8, loop_logp, got
+
+        carry = (d, tellf, jnp.zeros_like(tellf), total_bits8,
+                 dynalloc_logp, active)
+        d, tellf, boost, total_bits8, _lp, _run = jax.lax.fori_loop(
+            0, trips, _trip, carry)
+        offsets.append(boost)
+        dynalloc_logp = _sel(boost > 0,
+                             jnp.maximum(dynalloc_logp - 1, 2),
+                             dynalloc_logp)
+    can_trim = active & (tellf + (6 << BITRES) <= total_bits8)
+    trim_v, d = K.rk_dec_icdf(d, buf, lens, TRIM_ICDF, 7, can_trim)
+    trim = _sel(can_trim, trim_v, 5)
+    return offsets, trim, d
+
+
+def _compute_allocation(d, buf, lens, tabs: DecTabs, offsets, trim, total,
+                        active):
+    """compute_allocation, mono decode (rate.c:535)."""
+    nb = tabs.nb
+    eB = tabs.eBands
+    total = jnp.maximum(total, 0)
+    skip_rsv = _sel(total >= (1 << BITRES), 1 << BITRES, 0)
+    total = total - skip_rsv
+    widths = [int(v) for v in (eB[1:] - eB[:-1])]
+    thresh = [max((3 * widths[j] << tabs.lm << BITRES) >> 4, 1 << BITRES)
+              for j in range(nb)]
+    trim_off = []
+    for j in range(nb):
+        t = (widths[j] * (trim - 5 - tabs.lm) * (nb - 1 - j)
+             * (1 << (tabs.lm + BITRES))) >> 6
+        if (widths[j] << tabs.lm) == 1:
+            t = t - (1 << BITRES)
+        trim_off.append(t)
+    caps = tabs.caps
+    allocV = tabs.allocV            # [nv, nb] python ints
+    nv = allocV.shape[0]
+
+    lo = jnp.ones_like(total)
+    hi = jnp.full_like(total, nv - 1)
+    for _ in range(6):   # ilog2(nbAllocVectors) iterations suffice
+        go = lo <= hi
+        mid = (lo + hi) >> 1
+        psum = jnp.zeros_like(total)
+        done = jnp.zeros(total.shape, bool)
+        for j in range(nb - 1, -1, -1):
+            col = [int(widths[j] * allocV[v, j]) << tabs.lm >> 2
+                   for v in range(nv)]
+            bitsj = _lit_lookup(col, jnp.clip(mid, 0, nv - 1))
+            bitsj = _sel(bitsj > 0,
+                         jnp.maximum(bitsj + trim_off[j], 0), bitsj)
+            bitsj = bitsj + offsets[j]
+            use = (bitsj >= thresh[j]) | done
+            psum = psum + _sel(use, jnp.minimum(bitsj, caps[j]),
+                               _sel(bitsj >= (1 << BITRES),
+                                    1 << BITRES, 0))
+            done = done | use
+        over = psum > total
+        hi = _sel(go & over, mid - 1, hi)
+        lo = _sel(go & ~over, mid + 1, lo)
+    hi_f = lo
+    lo_f = lo - 1
+    bits1 = []
+    bits2 = []
+    skip_start = jnp.zeros_like(total)
+    for j in range(nb):
+        col = [int(widths[j] * allocV[v, j]) << tabs.lm >> 2
+               for v in range(nv)]
+        b1 = _lit_lookup(col, jnp.clip(lo_f, 0, nv - 1))
+        b2_tab = _lit_lookup(col, jnp.clip(hi_f, 0, nv - 1))
+        b2 = _sel(hi_f >= nv, i32(caps[j]), b2_tab)
+        b1 = _sel(b1 > 0, jnp.maximum(b1 + trim_off[j], 0), b1)
+        b2 = _sel(b2 > 0, jnp.maximum(b2 + trim_off[j], 0), b2)
+        b1 = b1 + _sel(lo_f > 0, offsets[j], 0)
+        b2 = b2 + offsets[j]
+        skip_start = _sel(offsets[j] > 0,
+                          jnp.full_like(skip_start, j), skip_start)
+        b2 = jnp.maximum(b2 - b1, 0)
+        bits1.append(b1)
+        bits2.append(b2)
+    return _interp_bits2pulses(d, buf, lens, tabs, bits1, bits2, thresh,
+                               total, skip_rsv, skip_start, active)
+
+
+def _interp_bits2pulses(d, buf, lens, tabs: DecTabs, bits1, bits2, thresh,
+                        total, skip_rsv, skip_start, active):
+    """interp_bits2pulses, mono decode (rate.c:249)."""
+    nb = tabs.nb
+    alloc_floor = 1 << BITRES
+    eB = [int(v) for v in tabs.eBands]
+    caps = tabs.caps
+    lo = jnp.zeros_like(total)
+    hi = jnp.full_like(total, 1 << ALLOC_STEPS)
+    for _ in range(ALLOC_STEPS):
+        mid = (lo + hi) >> 1
+        psum = jnp.zeros_like(total)
+        done = jnp.zeros(total.shape, bool)
+        for j in range(nb - 1, -1, -1):
+            tmp = bits1[j] + ((mid * bits2[j]) >> ALLOC_STEPS)
+            use = (tmp >= thresh[j]) | done
+            psum = psum + _sel(use, jnp.minimum(tmp, caps[j]),
+                               _sel(tmp >= alloc_floor, alloc_floor, 0))
+            done = done | use
+        over = psum > total
+        hi = _sel(over, mid, hi)
+        lo = _sel(over, lo, mid)
+    psum = jnp.zeros_like(total)
+    done = jnp.zeros(total.shape, bool)
+    bits = [None] * nb
+    for j in range(nb - 1, -1, -1):
+        tmp = bits1[j] + ((lo * bits2[j]) >> ALLOC_STEPS)
+        low = (tmp < thresh[j]) & ~done
+        tmp2 = _sel(low, _sel(tmp >= alloc_floor, alloc_floor, 0), tmp)
+        done = done | ~low
+        tmp2 = jnp.minimum(tmp2, caps[j])
+        bits[j] = tmp2
+        psum = psum + tmp2
+
+    coded_bands = jnp.full_like(total, nb)
+    finished = ~active
+    forced_stop = jnp.zeros(total.shape, bool)
+    for j in range(nb - 1, 0, -1):
+        is_cur = (~finished) & (coded_bands == j + 1) & (j > skip_start)
+        at_skip = (~finished) & (coded_bands == j + 1) & (j <= skip_start)
+        finished = finished | at_skip
+        forced_stop = forced_stop | at_skip
+        left = total - psum
+        den = eB[j + 1] - eB[0]
+        percoeff = left // den
+        leftr = left - den * percoeff
+        rem = jnp.maximum(leftr - (eB[j] - eB[0]), 0)
+        band_width = eB[j + 1] - eB[j]
+        band_bits = bits[j] + percoeff * band_width + rem
+        th = max(thresh[j], alloc_floor + (1 << BITRES))
+        reads = is_cur & (band_bits >= th)
+        bit, d = K.rk_dec_bit_logp(d, buf, lens, 1, reads)
+        stop = reads & (bit != 0)
+        finished = finished | stop
+        adj = reads & ~stop
+        psum = _sel(adj, psum + (1 << BITRES), psum)
+        band_bits = _sel(adj, band_bits - (1 << BITRES), band_bits)
+        cont = is_cur & ~stop
+        keep_floor = band_bits >= alloc_floor
+        psum = _sel(cont, psum - bits[j]
+                    + _sel(keep_floor, alloc_floor, 0), psum)
+        bits[j] = _sel(cont, _sel(keep_floor, alloc_floor, 0), bits[j])
+        coded_bands = _sel(cont, coded_bands - 1, coded_bands)
+    # the skip-bit reservation returns to the pool only when skipping
+    # stopped at skip_start without coding a stop bit (rate.c:331)
+    total = total + _sel(forced_stop, skip_rsv, 0)
+
+    left = total - psum
+    den = _lit_lookup([eB[c] - eB[0] for c in range(nb + 1)],
+                      jnp.clip(coded_bands, 0, nb))
+    den = jnp.maximum(den, 1)
+    percoeff = left // den
+    left = left - den * percoeff
+    in_coded = [j < 21 for j in range(nb)]  # refined below per lane
+    for j in range(nb):
+        in_c = j < coded_bands
+        bits[j] = bits[j] + _sel(in_c, percoeff * (eB[j + 1] - eB[j]), 0)
+        in_coded[j] = in_c
+    for j in range(nb):
+        take = jnp.minimum(left, eB[j + 1] - eB[j])
+        bits[j] = bits[j] + _sel(in_coded[j], take, 0)
+        left = _sel(in_coded[j], left - take, left)
+
+    ebits = [None] * nb
+    fine_priority = [None] * nb
+    balance = jnp.zeros_like(total)
+    logM = tabs.lm << BITRES
+    for j in range(nb):
+        n0 = eB[j + 1] - eB[j]
+        n = n0 << tabs.lm
+        in_c = in_coded[j]
+        bitj = bits[j] + balance
+        if n > 1:
+            excess = jnp.maximum(bitj - caps[j], 0)
+            bj = bitj - excess
+            den_ = n
+            nclogn = den_ * (tabs.logN[j] + logM)
+            offset = (nclogn >> 1) - den_ * FINE_OFFSET
+            if n == 2:
+                offset += den_ << BITRES >> 2
+            off1 = _sel(bj + offset < (den_ * 2 << BITRES),
+                        offset + (nclogn >> 2),
+                        _sel(bj + offset < (den_ * 3 << BITRES),
+                             offset + (nclogn >> 3), offset))
+            eb_ = jnp.maximum(bj + off1 + (den_ << (BITRES - 1)), 0)
+            eb_ = (eb_ // den_) >> BITRES
+            eb_ = _sel(eb_ > (bj >> BITRES), bj >> BITRES, eb_)
+            eb_ = jnp.minimum(eb_, MAX_FINE_BITS)
+            fp = (eb_ * (den_ << BITRES) >= bj + off1).astype(i32)
+            bj = bj - (eb_ << BITRES)
+        else:
+            excess = jnp.maximum(bitj - (1 << BITRES), 0)
+            bj = bitj - excess
+            eb_ = jnp.zeros_like(total)
+            fp = jnp.ones_like(total)
+        has_ex = excess > 0
+        extra_fine = jnp.minimum(excess >> BITRES, MAX_FINE_BITS - eb_)
+        eb2 = eb_ + _sel(has_ex, extra_fine, 0)
+        extra_bits = extra_fine << BITRES
+        fp = _sel(has_ex, (extra_bits >= excess - balance).astype(i32), fp)
+        excess2 = _sel(has_ex, excess - extra_bits, excess)
+        unc_eb = bits[j] >> BITRES
+        ebits[j] = _sel(in_c, eb2, unc_eb)
+        fine_priority[j] = _sel(in_c, fp, (unc_eb < 1).astype(i32))
+        bits[j] = _sel(in_c, bj, 0)
+        balance = _sel(in_c, excess2, balance)
+    return coded_bands, balance, bits, ebits, fine_priority, d
+
+
+def fused_plan(d, buf, lens, tabs: DecTabs, old_e, active):
+    """Header through fine energy (celt_decoder.c:1209-1462), mono.
+
+    old_e: list of nb [sh] f32 regs (energy memory).  Returns
+    (plan dict, state).  All plan entries are [sh] lanes or lists of
+    per-band lanes."""
+    nb = tabs.nb
+    total_bits = lens * 8
+
+    tell = K.rk_tell(d)
+    sil_read = active & (tell == 1)
+    sil_bit, d = K.rk_dec_bit_logp(d, buf, lens, 15, sil_read)
+    silence = _sel(tell >= total_bits, 1, _sel(sil_read, sil_bit, 0))
+    d = dict(d)
+    d["nbits_total"] = _sel(silence != 0,
+                            total_bits - K.rk_tell(d) + d["nbits_total"],
+                            d["nbits_total"])
+    live = active & (silence == 0)
+
+    # ---- postfilter (start==0) ----
+    tell = K.rk_tell(d)
+    pf_read = live & (tell + 16 <= total_bits)
+    pf_on, d = K.rk_dec_bit_logp(d, buf, lens, 1, pf_read)
+    pf = pf_read & (pf_on != 0)
+    octave, d = K.rk_dec_uint(d, buf, lens, jnp.full_like(tell, 6), pf)
+    pbits, d = K.rk_dec_bits(d, buf, lens,
+                             jnp.where(pf, 4 + octave, 0), pf)
+    pf_pitch = _sel(pf, (16 << octave) + pbits - 1, 0)
+    qg, d = K.rk_dec_bits(d, buf, lens, jnp.where(pf, 3, 0), pf)
+    tp_read = pf & (K.rk_tell(d) + 2 <= total_bits)
+    tapset, d = K.rk_dec_icdf(d, buf, lens, TAPSET_ICDF, 2, tp_read)
+    pf_tapset = _sel(tp_read, tapset, 0)
+    pf_gain = jnp.where(pf, f32(0.09375) * (qg + 1).astype(f32), f32(0.0))
+
+    # ---- transient + intra ----
+    tell = K.rk_tell(d)
+    if tabs.lm > 0:
+        tr_read = live & (tell + 3 <= total_bits)
+    else:
+        tr_read = jnp.zeros(tell.shape, bool)
+    tr, d = K.rk_dec_bit_logp(d, buf, lens, 3, tr_read)
+    is_transient = _sel(tr_read, tr, 0)
+    tell = K.rk_tell(d)
+    in_read = live & (tell + 3 <= total_bits)
+    intra, d = K.rk_dec_bit_logp(d, buf, lens, 3, in_read)
+    intra = _sel(in_read, intra, 0)
+
+    # ---- coarse energy + tf + spread ----
+    old_e, d = _coarse_energy(d, buf, lens, tabs, old_e, intra,
+                              total_bits, live)
+    tf_res, d = _tf_decode(d, buf, lens, tabs, is_transient != 0,
+                           total_bits, live)
+    tell = K.rk_tell(d)
+    sp_read = live & (tell + 4 <= total_bits)
+    spv, d = K.rk_dec_icdf(d, buf, lens, SPREAD_ICDF, 5, sp_read)
+    spread = _sel(sp_read, spv, SPREAD_NORMAL)
+
+    # ---- dynalloc + trim + allocation ----
+    nbytes_cap = buf.shape[0] * 4
+    offsets, trim, d = _dynalloc(d, buf, lens, tabs, total_bits,
+                                 nbytes_cap, live)
+    bits_left = (lens * 8 << BITRES) - K.rk_tell_frac(d) - 1
+    ac_rsv = jnp.where((is_transient != 0) & (tabs.lm >= 2)
+                       & (bits_left >= ((tabs.lm + 2) << BITRES)),
+                       1 << BITRES, 0)
+    bits_left = bits_left - ac_rsv
+    (coded_bands, balance, pulses, ebits, fine_priority, d) = \
+        _compute_allocation(d, buf, lens, tabs, offsets, trim,
+                            bits_left, live)
+
+    # ---- fine energy ----
+    for i in range(nb):
+        fq = ebits[i]
+        has = live & (fq > 0)
+        q2, d = K.rk_dec_bits(d, buf, lens, jnp.where(has, fq, 0), has)
+        offs = (q2.astype(f32) + f32(0.5)) \
+            * jnp.exp2(-fq.astype(f32)) - f32(0.5)
+        old_e[i] = jnp.where(has, old_e[i] + offs, old_e[i])
+
+    return dict(silence=silence, pf_pitch=pf_pitch, pf_gain=pf_gain,
+                pf_tapset=pf_tapset, is_transient=is_transient,
+                intra=intra, energies=old_e, tf_res=tf_res,
+                spread=spread, offsets=offsets, trim=trim,
+                coded_bands=coded_bands, balance=balance, pulses=pulses,
+                ebits=ebits, fine_priority=fine_priority,
+                anti_collapse_rsv=ac_rsv, live=live), d
+
+
+# ===================================================================== #
+# CWRS: codebook index -> pulse vector, vectorized                      #
+# ===================================================================== #
+
+@lru_cache(maxsize=None)
+def _cwrsi_tabs(n: int, kcap: int):
+    """Scan constants for _cwrsi: per step j (nj = n - j, j in
+    0..n-3) the U(t, nj) column, U(nj, nj), and nj itself."""
+    cols = np.stack([np.asarray(_u_col(n - j, kcap + 1), np.uint64)
+                     for j in range(n - 2)]).astype(np.uint32)
+    qs = np.asarray(
+        [min(cwrs.pvq_u(n - j, n - j), _U32_SAT) if n - j <= kcap + 1
+         else _U32_SAT for j in range(n - 2)], np.uint32)
+    njs = np.asarray([n - j for j in range(n - 2)], np.int32)
+    return cols, qs, njs
+
+
+def _cwrsi(n: int, k, idx, kcap: int):
+    """cwrsi (cwrs.c:467) vectorized: n static >= 2, k [sh] i32,
+    idx [sh] u32 codebook index.  The scalar downward k searches become
+    prefix counts over the static U(:, nj) column (strictly increasing
+    in t for t >= 1), and the per-coefficient loop is one lax.scan so
+    the graph stays O(1) in n.  Returns list of n pulse regs ([sh]
+    i32)."""
+    i = idx.astype(u32)
+    if n > 2:
+        cols, qs, njs = _cwrsi_tabs(n, kcap)
+
+        def step(carry, xs):
+            k, i = carry
+            col, q_static, nj = xs
+            is_a = k >= nj
+            # pA = U(nj, k+1) = col[k+1] (U symmetric); pB = col[k]
+            col_k = jnp.take(col, jnp.clip(k, 0, kcap + 1))
+            col_k1 = jnp.take(col, jnp.clip(k + 1, 0, kcap + 1))
+            s = i >= col_k1
+            izero = (~is_a) & (col_k <= i) & (i < col_k1)
+            i1 = i - _sel(izero, col_k, _sel(s, col_k1, u32(0)))
+            # downward search: largest t with col[t] <= i1
+            cnt = jnp.sum(i1[..., None] >= col[:kcap + 1],
+                          axis=-1).astype(i32)
+            upper = _sel(is_a, _sel(q_static > i1, nj - 1, k), k - 1)
+            # valid streams never search from k == 0 (izero covers it);
+            # keep garbage lanes in range
+            upper = jnp.maximum(upper, 0)
+            k_new = jnp.clip(cnt - 1, 0, upper)
+            p_fin = jnp.take(col, jnp.clip(k_new, 0, kcap + 1))
+            i = _sel(izero, i1, i1 - p_fin)
+            val = k - k_new
+            yj = _sel(izero, 0, _sel(s, -val, val))
+            k = _sel(izero, k, k_new)
+            return (k, i), yj
+
+        (k, i), ys = jax.lax.scan(
+            step, (k, i), (jnp.asarray(cols), jnp.asarray(qs),
+                           jnp.asarray(njs)))
+        y = [ys[j] for j in range(n - 2)]
+    else:
+        y = []
+    # n == 2
+    p = (2 * k + 1).astype(u32)
+    s = i >= p
+    i = i - _sel(s, p, u32(0))
+    k0 = k
+    k2 = ((i + 1) >> 1).astype(i32)
+    i = i - _sel(k2 > 0, (2 * k2 - 1).astype(u32), u32(0))
+    val = k0 - k2
+    y.append(_sel(s, -val, val))
+    # n == 1
+    y.append(_sel(i != 0, -k2, k2))
+    return y
+
+
+def _decode_pulses(d, buf, lens, n: int, k, kcap: int, active):
+    """decode_pulses (cwrs.c): dec_uint(V(n,k)) + cwrsi."""
+    vrow = jnp.asarray(np.asarray(_v_row(n, kcap), np.uint64)
+                       .astype(np.uint32))
+    ft = jnp.take(vrow, jnp.clip(k, 0, kcap))
+    idx, d = K.rk_dec_uint(d, buf, lens, ft.astype(i32), active)
+    y = _cwrsi(n, jnp.maximum(k, 1), idx.astype(u32), kcap)
+    return y, d
+
+
+# ===================================================================== #
+# leaf float ops: rotation, collapse mask, noise/fold                   #
+# ===================================================================== #
+
+def _exp_rotation1(xs, length: int, stride: int, c, s):
+    """In-place-style pair rotations (vq.c:exp_rotation1); xs is a list
+    of [sh] f32 regs, returns a new list."""
+    xs = list(xs)
+    ms = -s
+    for i in range(length - stride):
+        x1, x2 = xs[i], xs[i + stride]
+        xs[i + stride] = c * x2 + s * x1
+        xs[i] = c * x1 + ms * x2
+    for i in range(length - 2 * stride - 1, -1, -1):
+        x1, x2 = xs[i], xs[i + stride]
+        xs[i + stride] = c * x2 + s * x1
+        xs[i] = c * x1 + ms * x2
+    return xs
+
+
+def _exp_rotation_dec(xs, n: int, stride_lanes, stride_vals, k, spread,
+                      active):
+    """exp_rotation direction=-1 (decode) with per-lane stride/spread/k.
+
+    Rotation applies only where spread != 0 and 2*k < n; the angle is
+    per-lane, the loop structure per static stride variant."""
+    factor = _sel(spread == 1, f32(15.0),
+                  _sel(spread == 2, f32(10.0), f32(5.0)))
+    kf = k.astype(f32)
+    gain = f32(1.0) * n / (n + factor * kf)
+    theta = f32(0.5) * gain * gain
+    c = jnp.cos(f32(0.5 * math.pi) * theta)
+    s = jnp.cos(f32(0.5 * math.pi) * (f32(1.0) - theta))
+    do = active & (spread != SPREAD_NONE) & (2 * k < n)
+    out = list(xs)
+    for sv in stride_vals:
+        if n < sv:
+            continue
+        stride2 = 0
+        if n >= 8 * sv:
+            stride2 = 1
+            while (stride2 * stride2 + stride2) * sv + (sv >> 2) < n:
+                stride2 += 1
+        length = n // sv
+        cur = list(xs)
+        for seg in range(sv):
+            sub = cur[seg * length:(seg + 1) * length]
+            if stride2:
+                sub = _exp_rotation1(sub, length, stride2, s, c)
+            sub = _exp_rotation1(sub, length, 1, c, s)
+            cur[seg * length:(seg + 1) * length] = sub
+        m = do & (stride_lanes == sv)
+        out = [_sel(m, cv, ov) for cv, ov in zip(cur, out)]
+    return out
+
+
+def _collapse_mask(iy, n: int, b_lanes, b_vals, active):
+    """extract_collapse_mask with per-lane B (bands.c)."""
+    out = jnp.ones_like(b_lanes)
+    for bv in b_vals:
+        if bv <= 1:
+            cm = jnp.ones_like(b_lanes)
+        else:
+            n0 = n // bv
+            cm = jnp.zeros_like(b_lanes)
+            for ib in range(bv):
+                tmp = jnp.zeros_like(b_lanes)
+                for j in range(n0):
+                    tmp = tmp | (iy[ib * n0 + j] != 0).astype(i32)
+                cm = cm | (tmp << ib)
+        out = _sel(active & (b_lanes == bv), cm, out)
+    return out
+
+
+def _renormalise(xs, n: int, gain, active):
+    e = _tree_sum([x * x for x in xs]) + f32(EPS)
+    g = gain * jax.lax.rsqrt(e)
+    return [_sel(active, x * g, x) for x in xs]
+
+
+# ===================================================================== #
+# quant_partition / quant_band, vectorized over the static split tree   #
+# ===================================================================== #
+
+def _sudiv(a, den):
+    """C truncating division by positive divisor (den lanes or int)."""
+    q = jnp.abs(a) // den
+    return _sel(a < 0, -q, q)
+
+
+def _compute_qn_vec(n2: int, b, offset: int, pulse_cap: int):
+    n2x = 2 * n2 - 1
+    qb = _sudiv(b + n2x * offset, n2x)
+    qb = jnp.minimum(b - pulse_cap - (4 << BITRES), qb)
+    qb = jnp.minimum(8 << BITRES, qb)
+    exp_v = _lit_lookup(EXP2_TABLE8, qb & 0x7)
+    sh = (14 - (qb >> BITRES)).astype(u32)
+    qn = ((exp_v >> jnp.minimum(sh, u32(31))) + 1) >> 1 << 1
+    return _sel(qb < (1 << BITRES >> 1), 1, qn)
+
+
+def _compute_theta_mono(d, buf, lens, ctx, tabs: DecTabs, band: int,
+                        n2: int, b, bb2, b0, lm2: int, fill, active):
+    """compute_theta, mono decode (bands.c:700).  n2/lm2 static;
+    b/bb2/b0/fill per-lane.  Returns (b, fill, sctx dict, d, ctx)."""
+    pulse_cap = tabs.logN[band] + lm2 * (1 << BITRES)
+    offset = (pulse_cap >> 1) - QTHETA_OFFSET
+    qn = _compute_qn_vec(n2, b, offset, pulse_cap)
+    tell0 = K.rk_tell_frac(d)
+    has_theta = active & (qn != 1)
+    # uniform path (b0 > 1)
+    uin = has_theta & (b0 > 1)
+    th_u, d = K.rk_dec_uint(d, buf, lens, qn + 1, uin)
+    # triangular pdf path (b0 == 1)
+    tri = has_theta & (b0 <= 1)
+    qh = qn >> 1
+    ft = (qh + 1) * (qh + 1)
+    fm, d = K.rk_decode(d, ft, tri)
+    low = fm < ((qh * (qh + 1)) >> 1)
+    th_lo = (_isqrt(8 * fm + 1) - 1) >> 1
+    th_hi = (2 * (qn + 1)
+             - _isqrt(8 * jnp.maximum(ft - fm - 1, 0) + 1)) >> 1
+    th_t = _sel(low, th_lo, th_hi)
+    fs_t = _sel(low, th_t + 1, qn + 1 - th_t)
+    fl_t = _sel(low, (th_t * (th_t + 1)) >> 1,
+                ft - (((qn + 1 - th_t) * (qn + 2 - th_t)) >> 1))
+    d = K.rk_update(d, buf, lens, fl_t, fl_t + fs_t, ft, tri)
+    itheta = _sel(uin, th_u, _sel(tri, th_t, 0))
+    itheta = (itheta * 16384) // jnp.maximum(qn, 1)
+    qalloc = K.rk_tell_frac(d) - tell0
+    b = b - qalloc
+    ctx = dict(ctx)
+    ctx["rb"] = ctx["rb"] - _sel(active, qalloc, 0)
+
+    th0 = itheta == 0
+    th1 = itheta == 16384
+    imid = _sel(th0, 32767, _sel(th1, 0, _bitexact_cos(itheta)))
+    iside = _sel(th0, 0, _sel(th1, 32767,
+                              _bitexact_cos(16384 - itheta)))
+    delta_m = _frac_mul16(jnp.full_like(itheta, (n2 - 1) << 7),
+                          _bitexact_log2tan(iside, imid))
+    delta = _sel(th0, -16384, _sel(th1, 16384, delta_m))
+    fill = _sel(active & th0, fill & ((1 << bb2) - 1), fill)
+    fill = _sel(active & th1,
+                fill & (((1 << bb2) - 1) << bb2), fill)
+    sctx = dict(itheta=itheta, imid=imid, iside=iside, delta=delta,
+                qalloc=qalloc)
+    return b, fill, sctx, d, ctx
+
+
+def _quant_partition(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
+                     lm_node: int, b, bb, bb_vals, lb, lb_has, gain,
+                     fill, active):
+    """quant_partition decode (bands.c:973) over the static split tree.
+
+    lb: list of n [sh] f32 regs (folding source; meaningful where
+    lb_has) — or None when no lane can ever fold here.
+    Returns (cm, x list[n], d, ctx)."""
+    row = tabs.cache_rows[(lm_node, band)]
+    can_split = lm_node != -1 and n > 2
+    if can_split:
+        assert n % 2 == 0, (band, n, lm_node)
+        thr = row[row[0]] + 12
+        split = active & (b > thr)
+        n2 = n >> 1
+        lm2 = lm_node - 1
+        b0 = bb
+        fill_s = _sel(bb == 1, (fill & 1) | (fill << 1), fill)
+        bb2 = (bb + 1) >> 1
+        bb2_vals = tuple(sorted({(v + 1) >> 1 for v in bb_vals}))
+        b_s, fill_s, sctx, d, ctx = _compute_theta_mono(
+            d, buf, lens, ctx, tabs, band, n2, b, bb2, b0, lm2, fill_s,
+            split)
+        itheta = sctx["itheta"]
+        mid = sctx["imid"].astype(f32) * f32(1.0 / 32768.0)
+        side = sctx["iside"].astype(f32) * f32(1.0 / 32768.0)
+        delta = sctx["delta"]
+        nonzero_th = (itheta & 0x3fff) != 0
+        d_hi = delta - (delta >> (4 - lm2))
+        d_lo = jnp.minimum(0, delta + (n2 << BITRES >> (5 - lm2)))
+        delta = _sel((b0 > 1) & nonzero_th,
+                     _sel(itheta > 8192, d_hi, d_lo), delta)
+        mbits = jnp.maximum(0, jnp.minimum(b_s, (b_s - delta) // 2))
+        sbits = b_s - mbits
+        swap = split & (mbits < sbits)
+
+        if lb is not None:
+            lb_lo, lb_hi = lb[:n2], lb[n2:]
+            lb_v0 = [_sel(swap, h, l) for l, h in zip(lb_lo, lb_hi)]
+        else:
+            lb_v0 = None
+        rb_before = ctx["rb"]
+        b_v0 = _sel(swap, sbits, mbits)
+        g_v0 = gain * _sel(swap, side, mid)
+        f_v0 = _sel(swap, fill_s >> bb2, fill_s)
+        cm0, x0, d, ctx = _quant_partition(
+            d, buf, lens, ctx, tabs, band, n2, lm2, b_v0, bb2, bb2_vals,
+            lb_v0, lb_has, g_v0, f_v0, split)
+        spent = rb_before - ctx["rb"]
+        rebalance = b_v0 - spent
+        anchor = _sel(swap, 16384, 0)
+        extra = _sel(split & (rebalance > (3 << BITRES))
+                     & (itheta != anchor),
+                     rebalance - (3 << BITRES), 0)
+        b_v1 = _sel(swap, mbits, sbits) + extra
+        g_v1 = gain * _sel(swap, mid, side)
+        f_v1 = _sel(swap, fill_s, fill_s >> bb2)
+        if lb is not None:
+            lb_v1 = [_sel(swap, l, h) for l, h in zip(lb_lo, lb_hi)]
+        else:
+            lb_v1 = None
+        cm1, x1, d, ctx = _quant_partition(
+            d, buf, lens, ctx, tabs, band, n2, lm2, b_v1, bb2, bb2_vals,
+            lb_v1, lb_has, g_v1, f_v1, split)
+        x_lo = [_sel(swap, b_, a_) for a_, b_ in zip(x0, x1)]
+        x_hi = [_sel(swap, a_, b_) for a_, b_ in zip(x0, x1)]
+        cm_x = _sel(swap, cm1, cm0)
+        cm_y = _sel(swap, cm0, cm1)
+        cm_split = cm_x | (cm_y << (b0 >> 1).astype(u32))
+        x_split = x_lo + x_hi
+        leaf_active = active & ~split
+    else:
+        split = jnp.zeros(active.shape, bool)
+        leaf_active = active
+        x_split = None
+        cm_split = None
+
+    # ---- leaf: PVQ / noise / fold ----
+    L = row[0]
+    rowj = jnp.asarray(np.asarray(row, np.int32))
+    bm1 = b - 1
+    c_lo = jnp.sum(bm1[..., None] > rowj[1:L + 1], axis=-1).astype(i32)
+    lo = c_lo
+    hi = jnp.minimum(lo + 1, L)
+    lo_val = _sel(lo == 0, -1, jnp.take(rowj, jnp.clip(lo, 0, L)))
+    hi_val = jnp.take(rowj, hi)
+    q = _sel(bm1 - lo_val <= hi_val - bm1, lo, hi)
+    # bit-budget reduction loop, closed form
+    rb0 = ctx["rb"]
+    c_fit = jnp.sum(rb0[..., None] >= rowj[1:L + 1] + 1,
+                    axis=-1).astype(i32)
+    q = jnp.minimum(q, jnp.maximum(c_fit, 0))
+    q = jnp.maximum(q, 0)
+    bits_used = _sel(q > 0, jnp.take(rowj, jnp.clip(q, 0, L)) + 1, 0)
+    ctx = dict(ctx)
+    ctx["rb"] = ctx["rb"] - _sel(leaf_active, bits_used, 0)
+    kq = _sel(q < 8, q, (8 + (q & 7)) << jnp.maximum((q >> 3) - 1, 0)
+              .astype(u32))
+    kcap = min(int(get_pulses(L)), 128)
+    pvq = leaf_active & (kq != 0)
+    if n >= 2:
+        iy, d = _decode_pulses(d, buf, lens, n, kq, kcap, pvq)
+        ryy = _tree_sum([(yj * yj).astype(f32) for yj in iy])
+        g = gain * jax.lax.rsqrt(jnp.maximum(ryy, f32(1e-30)))
+        x_pvq = [yj.astype(f32) * g for yj in iy]
+        x_pvq = _exp_rotation_dec(x_pvq, n, bb, bb_vals, kq,
+                                  ctx["spread"], pvq)
+        cm_pvq = _collapse_mask(iy, n, bb, bb_vals, pvq)
+    else:
+        raise AssertionError("n==1 leaves are handled by quant_band_n1")
+
+    # q == 0: noise / fold
+    nf = leaf_active & (kq == 0)
+    cm_mask = ((u32(1) << bb.astype(u32)) - 1).astype(i32)
+    fillm = fill & cm_mask
+    zero = nf & (fillm == 0)
+    act_nf = nf & (fillm != 0)
+    fold = act_nf & lb_has if lb is not None else jnp.zeros_like(zero)
+    noise = act_nf & ~fold
+    seed = ctx["seed"]
+    x_nf = []
+    for j in range(n):
+        seed = _sel(act_nf, _lcg(seed), seed)
+        nval = (seed.astype(i32) >> 20).astype(f32)
+        if lb is not None:
+            fval = lb[j] + _sel((seed & u32(0x8000)) != 0,
+                                f32(1.0 / 256), f32(-1.0 / 256))
+        else:
+            fval = jnp.zeros_like(nval)
+        x_nf.append(_sel(fold, fval, nval))
+    ctx["seed"] = seed
+    x_nf = _renormalise(x_nf, n, gain, act_nf)
+    cm_nf = _sel(fold, fillm, _sel(noise, cm_mask, 0))
+
+    x_leaf = [_sel(pvq, xp, _sel(act_nf, xn, f32(0.0)))
+              for xp, xn in zip(x_pvq, x_nf)]
+    cm_leaf = _sel(pvq, cm_pvq, cm_nf)
+
+    if x_split is None:
+        return cm_leaf, x_leaf, d, ctx
+    x_out = [_sel(split, xs, xl) for xs, xl in zip(x_split, x_leaf)]
+    cm_out = _sel(split, cm_split, cm_leaf)
+    return cm_out, x_out, d, ctx
+
+
+# ===================================================================== #
+# quant_band wrapper: tf transforms + hadamard variants                 #
+# ===================================================================== #
+
+def _haar1(xs, n0: int, stride: int):
+    xs = list(xs)
+    s = f32(math.sqrt(0.5))
+    for i in range(stride):
+        for j in range(n0 >> 1):
+            i0 = stride * 2 * j + i
+            i1 = i0 + stride
+            t1 = s * xs[i0]
+            t2 = s * xs[i1]
+            xs[i0] = t1 + t2
+            xs[i1] = t1 - t2
+    return xs
+
+
+def _deinterleave_hadamard(xs, n0: int, stride: int, hadamard: bool):
+    n = n0 * stride
+    out = [None] * n
+    if hadamard:
+        ordery = ORDERY_TABLE[stride]
+        for i in range(stride):
+            for j in range(n0):
+                out[ordery[i] * n0 + j] = xs[j * stride + i]
+    else:
+        for i in range(stride):
+            for j in range(n0):
+                out[i * n0 + j] = xs[j * stride + i]
+    return out
+
+
+def _interleave_hadamard(xs, n0: int, stride: int, hadamard: bool):
+    n = n0 * stride
+    out = [None] * n
+    if hadamard:
+        ordery = ORDERY_TABLE[stride]
+        for i in range(stride):
+            for j in range(n0):
+                out[j * stride + i] = xs[ordery[i] * n0 + j]
+    else:
+        for i in range(stride):
+            for j in range(n0):
+                out[j * stride + i] = xs[i * n0 + j]
+    return out
+
+
+def _fill_interleave(fill):
+    lo = _lit_lookup(BIT_INTERLEAVE_TABLE, fill & 0xF)
+    hi = _lit_lookup(BIT_INTERLEAVE_TABLE, (fill >> 4) & 0xF)
+    return lo | (hi << 2)
+
+
+def _quant_band_n1(d, buf, lens, ctx, active):
+    can = active & (ctx["rb"] >= (1 << BITRES))
+    sign, d = K.rk_dec_bits(d, buf, lens, jnp.where(can, 1, 0), can)
+    ctx = dict(ctx)
+    ctx["rb"] = ctx["rb"] - _sel(can, 1 << BITRES, 0)
+    x0 = _sel(sign != 0, f32(-NORM), f32(NORM))
+    return jnp.ones_like(sign), [x0], d, ctx
+
+
+def _band_variants(tabs: DecTabs, n: int):
+    """Static (transient, tf) -> transform plan enumeration for one
+    band.  Returns list of dicts with static fields."""
+    lm = tabs.lm
+    out = []
+    for tv in (0, 1):
+        row = TF_SELECT_TABLE[lm]
+        vals = sorted({row[4 * tv + c] for c in range(4)})
+        for tfv in vals:
+            b0 = (1 << lm) if tv else 1
+            recombine = max(tfv, 0)
+            n_b = n // b0
+            bb = b0 >> recombine
+            n_b <<= recombine
+            tdiv = 0
+            tfc = tfv
+            while (n_b & 1) == 0 and tfc < 0:
+                bb <<= 1
+                n_b >>= 1
+                tdiv += 1
+                tfc += 1
+            out.append(dict(tv=tv, tfv=tfv, B0=b0, recombine=recombine,
+                            tdiv=tdiv, b0_final=bb, n_b0=n_b,
+                            long=(b0 == 1)))
+    return out
+
+
+def _quant_band_mono(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
+                     b, transient, tf_change, lb, lb_has, fill, active):
+    """quant_band, mono decode (bands.c:1245).  Returns
+    (cm, x list[n], d, ctx)."""
+    if n == 1:
+        return _quant_band_n1(d, buf, lens, ctx, active)
+    variants = _band_variants(tabs, n)
+    masks = [active & (transient == v["tv"]) & (tf_change == v["tfv"])
+             for v in variants]
+
+    # ---- input-side transforms (lowband + fill) ----
+    if lb is not None:
+        lb_f = list(lb)
+    else:
+        lb_f = None
+    fill_f = fill
+    bb_lanes = jnp.zeros_like(fill)
+    bb_vals = set()
+    for v, m in zip(variants, masks):
+        lbv = list(lb) if lb is not None else None
+        fillv = fill
+        for kk in range(v["recombine"]):
+            if lbv is not None:
+                lbv = _haar1(lbv, n >> kk, 1 << kk)
+            fillv = _fill_interleave(fillv)
+        # time divide
+        bb = v["B0"] >> v["recombine"]
+        n_b = (n // v["B0"]) << v["recombine"]
+        for _ in range(v["tdiv"]):
+            if lbv is not None:
+                lbv = _haar1(lbv, n_b, bb)
+            fillv = fillv | (fillv << bb)
+            bb <<= 1
+            n_b >>= 1
+        if v["b0_final"] > 1 and lbv is not None:
+            lbv = _deinterleave_hadamard(
+                lbv, v["n_b0"] >> v["recombine"],
+                v["b0_final"] << v["recombine"], v["long"])
+        if lbv is not None:
+            lb_f = [_sel(m, a, o) for a, o in zip(lbv, lb_f)]
+        fill_f = _sel(m, fillv, fill_f)
+        bb_lanes = _sel(m, v["b0_final"], bb_lanes)
+        bb_vals.add(v["b0_final"])
+
+    cm, x, d, ctx = _quant_partition(
+        d, buf, lens, ctx, tabs, band, n, tabs.lm, b, bb_lanes,
+        tuple(sorted(bb_vals)), lb_f, lb_has, jnp.ones_like(b, f32),
+        fill_f, active)
+
+    # ---- resynth-side transforms (x + cm) ----
+    x_out = list(x)
+    cm_out = cm
+    for v, m in zip(variants, masks):
+        xv = list(x)
+        cmv = cm
+        bb = v["b0_final"]
+        n_b = v["n_b0"]
+        if bb > 1:
+            xv = _interleave_hadamard(xv, n_b >> v["recombine"],
+                                      bb << v["recombine"], v["long"])
+        for _ in range(v["tdiv"]):
+            bb >>= 1
+            n_b <<= 1
+            cmv = cmv | (cmv >> bb)
+            xv = _haar1(xv, n_b, bb)
+        for kk in range(v["recombine"]):
+            cmv = _lit_lookup(BIT_DEINTERLEAVE_TABLE,
+                              jnp.clip(cmv, 0, 15))
+            xv = _haar1(xv, n >> kk, 1 << kk)
+        bb <<= v["recombine"]
+        cmv = cmv & ((1 << bb) - 1)
+        x_out = [_sel(m, a, o) for a, o in zip(xv, x_out)]
+        cm_out = _sel(m, cmv, cm_out)
+    return cm_out, x_out, d, ctx
+
+
+# ===================================================================== #
+# quant_all_bands driver (mono decode)                                  #
+# ===================================================================== #
+
+def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
+                         balance, seed, active):
+    """bands.c:1589, mono decode.  total_bits8: per-lane 8th-bits budget
+    (len*8*8 - anti_collapse_rsv).  Returns (X regs list[N], collapse
+    list[nb], seed, d)."""
+    nb = tabs.nb
+    M = tabs.M
+    eB = [int(v) for v in tabs.eBands]
+    norm_total = M * eB[nb - 1]
+    norm = [jnp.zeros_like(jnp.asarray(balance, f32))
+            for _ in range(norm_total)]
+    collapse = [jnp.zeros_like(balance) for _ in range(nb)]
+    X = []
+    transient = plan["is_transient"]
+    B_lanes = _sel(transient != 0, M, 1)
+    spread = plan["spread"]
+    coded_bands = plan["coded_bands"]
+    pulses = plan["pulses"]
+    ctx = dict(rb=jnp.zeros_like(balance), seed=seed, spread=spread)
+    lowband_offset = jnp.zeros_like(balance)
+    update_lowband = jnp.ones(balance.shape, bool)
+
+    for i in range(nb):
+        n = M * (eB[i + 1] - eB[i])
+        tell = K.rk_tell_frac(d)
+        if i != 0:
+            balance = balance - tell
+        remaining_bits = total_bits8 - tell - 1
+        ctx["rb"] = remaining_bits
+        in_coded = i <= coded_bands - 1
+        den = jnp.minimum(3, jnp.maximum(coded_bands - i, 1))
+        curr_balance = _sudiv(balance, den)
+        b = _sel(in_coded,
+                 jnp.clip(jnp.minimum(remaining_bits + 1,
+                                      pulses[i] + curr_balance), 0, 16383),
+                 0)
+
+        # lowband_offset update (per-lane)
+        eligible = (M * eB[i] - n >= 0 and i != 0) or i == 1
+        if eligible:
+            upd = active & (update_lowband | (lowband_offset == 0))
+            lowband_offset = _sel(upd, i, lowband_offset)
+
+        tf_change = plan["tf_res"][i]
+        # folding source selection
+        fold_cond = active & (lowband_offset != 0) \
+            & ((spread != SPREAD_AGGRESSIVE) | (B_lanes > 1)
+               | (tf_change < 0))
+        lo_vals = [j for j in range(1, i + 1)
+                   if (M * eB[j] - M * (eB[j + 1] - eB[j]) >= 0
+                       and j != 0) or j == 1]
+        lb = [jnp.zeros_like(norm[0]) for _ in range(n)]
+        x_cm = _sel(fold_cond, 0,
+                    ((u32(1) << B_lanes.astype(u32)) - 1).astype(i32))
+        for lo in lo_vals:
+            mv = fold_cond & (lowband_offset == lo)
+            eff = max(0, M * eB[lo] - n)
+            # fold range (static per (i, lo))
+            fs_ = lo
+            while True:
+                fs_ -= 1
+                if M * eB[fs_] <= eff:
+                    break
+            fe_ = lo - 1
+            while True:
+                fe_ += 1
+                if not (fe_ < i and M * eB[fe_] < eff + n):
+                    break
+            cmv = jnp.zeros_like(x_cm)
+            fi = fs_
+            while True:
+                cmv = cmv | collapse[fi]
+                fi += 1
+                if fi >= fe_:
+                    break
+
+            def take(lo=lo, eff=eff, mv=mv, cmv=cmv, lb=lb, x_cm=x_cm):
+                nlb = [_sel(mv, norm[min(eff + j, norm_total - 1)], o)
+                       for j, o in enumerate(lb)]
+                return nlb + [_sel(mv, cmv, x_cm)]
+
+            def skip(lb=lb, x_cm=x_cm):
+                return list(lb) + [x_cm]
+
+            res = jax.lax.cond(jnp.any(mv), take, skip)
+            lb, x_cm = res[:-1], res[-1]
+        lb_has = fold_cond
+
+        cm_out, x_band, d, ctx = _quant_band_mono(
+            d, buf, lens, ctx, tabs, i, n, b, transient, tf_change,
+            lb, lb_has, x_cm, active)
+        collapse[i] = _sel(active, cm_out & 0xFF, 0)
+        X.extend(x_band)
+        # lowband_out (skip for the last band)
+        if i != nb - 1:
+            nrm = f32(math.sqrt(n))
+            base = M * eB[i]
+            for j in range(n):
+                norm[base + j] = _sel(active, nrm * x_band[j],
+                                      norm[base + j])
+        balance = balance + pulses[i] + tell
+        update_lowband = b > (n << BITRES)
+
+    return X, collapse, ctx["seed"], d
+
+
+# ===================================================================== #
+# anti-collapse + finalize + top level                                  #
+# ===================================================================== #
+
+def _anti_collapse(tabs: DecTabs, X, collapse, plan, prev1, prev2, seed,
+                   active):
+    """anti_collapse (bands.c:259), mono decode.  prev1/prev2: lists of
+    nb [sh] f32 (log energies of the previous two frames, already
+    max-combined by the caller per the c==1 decode rule)."""
+    nb = tabs.nb
+    lm = tabs.lm
+    eB = [int(v) for v in tabs.eBands]
+    X = list(X)
+    for i in range(nb):
+        n0 = eB[i + 1] - eB[i]
+        depth = ((1 + plan["pulses"][i] // (1 << BITRES)) // n0) >> lm \
+            if False else ((1 + plan["pulses"][i]) // n0) >> lm
+        # NOTE: reference uses (1+pulses[i])/n0 >> LM with pulses in
+        # 8th bits as stored by interp_bits2pulses
+        thresh = f32(0.5) * jnp.exp2(f32(-0.125) * depth.astype(f32))
+        sqrt_1 = f32(1.0 / math.sqrt(n0 << lm))
+        ediff = plan["energies"][i] - jnp.minimum(prev1[i], prev2[i])
+        ediff = jnp.maximum(f32(0.0), ediff)
+        r = f32(2.0) * jnp.exp2(-ediff)
+        if lm == 3:
+            r = r * f32(1.41421356)
+        r = jnp.minimum(thresh, r)
+        r = r * sqrt_1
+        base = (eB[i] << lm)
+        renorm = jnp.zeros(active.shape, bool)
+        for k in range(1 << lm):
+            miss = active & ((collapse[i] & (1 << k)) == 0)
+            for j in range(n0):
+                seed = _sel(miss, _lcg(seed), seed)
+                v = _sel((seed & u32(0x8000)) != 0, r, -r)
+                X[base + (j << lm) + k] = _sel(
+                    miss, v, X[base + (j << lm) + k])
+            renorm = renorm | miss
+        nband = n0 << lm
+        seg = _renormalise(X[base:base + nband], nband,
+                           jnp.ones_like(r), renorm)
+        X[base:base + nband] = seg
+    return X, seed
+
+
+def fused_celt_decode_frame(buf, lens, old_e, prev1, prev2, seed, rng_in,
+                            tabs: DecTabs, active):
+    """Full mono CELT frame symbol decode: plan + bands + anti-collapse
+    + energy finalise (celt_decoder.c:1209-1560 below packet parse).
+
+    buf: [W, *sh] packed words; lens/seed: [sh]; old_e/prev1/prev2:
+    lists of nb [sh] f32.  Returns (out dict, state)."""
+    nb = tabs.nb
+    d = K.rk_init(buf, lens)
+    plan, d = fused_plan(d, buf, lens, tabs, old_e, active)
+    live = plan["live"]
+    total_bits8 = (lens * 8 << BITRES) - plan["anti_collapse_rsv"]
+    X, collapse, seed, d = quant_all_bands_mono(
+        d, buf, lens, tabs, plan, total_bits8, plan["balance"], seed,
+        live)
+    # anti-collapse flag
+    ac_on, d = K.rk_dec_bits(
+        d, buf, lens, jnp.where(live & (plan["anti_collapse_rsv"] > 0),
+                                1, 0),
+        live & (plan["anti_collapse_rsv"] > 0))
+    # energy finalise (quant_bands.c unquant_energy_finalise)
+    energies = list(plan["energies"])
+    bits_left = lens * 8 - K.rk_tell(d)
+    for prio in (0, 1):
+        for i in range(nb):
+            can = live & (bits_left >= 1) \
+                & (plan["ebits"][i] < MAX_FINE_BITS) \
+                & (plan["fine_priority"][i] == prio)
+            q2, d = K.rk_dec_bits(d, buf, lens, jnp.where(can, 1, 0),
+                                  can)
+            off = (q2.astype(f32) - f32(0.5)) \
+                * jnp.exp2(-(plan["ebits"][i] + 1).astype(f32))
+            energies[i] = _sel(can, energies[i] + off, energies[i])
+            bits_left = bits_left - can.astype(i32)
+    # anti-collapse application
+    do_ac = live & (ac_on != 0)
+    Xa, seed = _anti_collapse(tabs, X, collapse, plan, prev1, prev2,
+                              seed, do_ac)
+    X = [_sel(do_ac, a, x) for a, x in zip(Xa, X)]
+    out = dict(plan, X=X, collapse=collapse, energies=energies,
+               anti_collapse_on=ac_on)
+    return out, dict(d=d, seed=seed)
+
+
+# ===================================================================== #
+# production wrapper: packets -> PCM in one jit                         #
+# ===================================================================== #
+
+def fused_celt_decode_to_pcm(buf, lens, state, tabs: DecTabs):
+    """One fully-on-device frame: symbol decode + synthesis DSP.
+
+    state: dict with per-band lists old_e/prev1/prev2 ([B] f32 each),
+    seed [B] u32, pf_* postfilter memories, and `dsp` (the
+    batched_decode.DecState).  Returns (pcm [B, 1, N], new state,
+    error [B]).  Scope: mono, 48 kHz, no loss (PLC via scalar
+    fallback on the error lanes)."""
+    from .batched_decode import decode_step
+    from ..celt.tables import COMB_GAINS, COMBFILTER_MINPERIOD
+
+    nb = tabs.nb
+    active = jnp.ones(lens.shape, bool)
+    out, st2 = fused_celt_decode_frame(
+        buf, lens, state["old_e"], state["prev1"], state["prev2"],
+        state["seed"], None, tabs, active)
+    err = st2["d"]["error"] != 0
+    silence = out["silence"] != 0
+    transient = out["is_transient"] != 0
+
+    x = jnp.stack(out["X"], axis=-1)[:, None, :]          # [B, 1, N]
+    energies = jnp.stack(out["energies"], axis=-1)[:, None, :]
+
+    # postfilter phases (old, current, new) per celt_decoder.c:1560-1596
+    minp = COMBFILTER_MINPERIOD
+    pp = jnp.maximum(state["pf_period"], minp)
+    ppo = jnp.maximum(state["pf_period_old"], minp)
+    periods = jnp.stack([ppo, pp, jnp.maximum(out["pf_pitch"], minp)],
+                        axis=-1).astype(jnp.int32)
+    comb = jnp.asarray(np.asarray(COMB_GAINS, np.float32))
+    gains3 = jnp.stack([state["pf_gain_old"], state["pf_gain"],
+                        out["pf_gain"]], axis=-1)         # [B, 3]
+    tapsets3 = jnp.stack([state["pf_tapset_old"], state["pf_tapset"],
+                          out["pf_tapset"]], axis=-1)     # [B, 3]
+    tgains = gains3[..., None] * comb[tapsets3]           # [B, 3, 3]
+
+    pcm, dsp = decode_step(x, energies, transient, silence, periods,
+                           tgains, state["dsp"], fs=tabs.mode.Fs,
+                           frame_size=tabs.mode.shortMdctSize << tabs.lm,
+                           lm=tabs.lm, channels=1)
+
+    # ---- state carry (celt_decoder.c:1560-1614) ----
+    e_sil = [_sel(silence, f32(-28.0), e) for e in out["energies"]]
+    prev1 = state["prev1"]
+    prev2 = state["prev2"]
+    new_prev2 = [_sel(transient, p2, p1)
+                 for p1, p2 in zip(prev1, prev2)]
+    new_prev1 = [_sel(transient, jnp.minimum(p1, e), e)
+                 for p1, e in zip(prev1, e_sil)]
+    # for lm != 0 the old phase also advances to the new params
+    # (celt_decoder.c:1592-1596); for lm == 0 old <- current
+    if tabs.lm != 0:
+        pf_old = (out["pf_pitch"], out["pf_gain"], out["pf_tapset"])
+    else:
+        pf_old = (pp, state["pf_gain"], state["pf_tapset"])
+    new_state = dict(
+        old_e=e_sil, prev1=new_prev1, prev2=new_prev2,
+        seed=st2["seed"],
+        pf_period_old=pf_old[0], pf_gain_old=pf_old[1],
+        pf_tapset_old=pf_old[2],
+        pf_period=out["pf_pitch"], pf_gain=out["pf_gain"],
+        pf_tapset=out["pf_tapset"],
+        dsp=dsp)
+    return pcm, new_state, err
+
+
+def fused_celt_init_state(batch: int, tabs: DecTabs):
+    from .batched_decode import init_state as dsp_init
+
+    z = jnp.zeros((batch,), jnp.float32)
+    zi = jnp.zeros((batch,), jnp.int32)
+    return dict(
+        old_e=[z for _ in range(tabs.nb)],
+        prev1=[jnp.full((batch,), -28.0, jnp.float32)
+               for _ in range(tabs.nb)],
+        prev2=[jnp.full((batch,), -28.0, jnp.float32)
+               for _ in range(tabs.nb)],
+        seed=jnp.zeros((batch,), jnp.uint32),
+        pf_period=jnp.full((batch,), 15, jnp.int32),
+        pf_period_old=jnp.full((batch,), 15, jnp.int32),
+        pf_gain=z, pf_gain_old=z,
+        pf_tapset=zi, pf_tapset_old=zi,
+        dsp=dsp_init(batch, tabs.mode.overlap))
+
+
+class FusedCeltDecoder:
+    """Packets-in -> PCM-out mono CELT decoder, fully on device."""
+
+    def __init__(self, batch: int, fs: int = 48000,
+                 frame_size: int = 960, max_payload: int = 1280):
+        self.batch = batch
+        self.tabs = DecTabs(fs, frame_size)
+        self.P = max_payload
+        self.W = (max_payload + 3) // 4
+        self.state = fused_celt_init_state(batch, self.tabs)
+        self._step = jax.jit(
+            lambda b, l, s: fused_celt_decode_to_pcm(b, l, s, self.tabs))
+
+    def pack(self, payloads) -> tuple[np.ndarray, np.ndarray]:
+        bufb = np.zeros((self.batch, self.W * 4), np.uint32)
+        lens = np.zeros(self.batch, np.int32)
+        for i, p in enumerate(payloads):
+            a = np.frombuffer(p, np.uint8)
+            bufb[i, :len(a)] = a
+            lens[i] = len(a)
+        return K.pack_words(bufb, self.W * 4), lens
+
+    def decode(self, payloads):
+        """payloads: list of B frame byte strings -> (pcm [B, 1, N]
+        float32, err [B] bool)."""
+        buf, lens = self.pack(payloads)
+        pcm, self.state, err = self._step(jnp.asarray(buf),
+                                          jnp.asarray(lens), self.state)
+        return np.asarray(pcm), np.asarray(err)

@@ -103,20 +103,28 @@ def _read_byte_from_end(buf, storage, end_offs):
 
 def _normalize(d: dict, buf, storage) -> dict:
     # rng grows >= 8 bits per iteration and a symbol consumes < 24 bits,
-    # so 3 masked iterations always suffice (entdec.c ec_dec_normalize)
+    # so 3 masked iterations always suffice (entdec.c ec_dec_normalize);
+    # run them as a fori_loop so the body is compiled once (the fused
+    # decoder graph contains thousands of normalize calls)
     d = dict(d)
-    for _ in range(3):
-        need = d["rng"] <= u32(CODE_BOT)
-        byte, offs = _read_byte(buf, storage, d["offs"])
-        sym = ((d["rem"] << SYM_BITS) | byte) >> (SYM_BITS - CODE_EXTRA)
-        val = ((d["val"] << SYM_BITS)
+
+    def body(_t, carry):
+        offs0, nbt, rng, val0, rem = carry
+        need = rng <= u32(CODE_BOT)
+        byte, offs = _read_byte(buf, storage, offs0)
+        sym = ((rem << SYM_BITS) | byte) >> (SYM_BITS - CODE_EXTRA)
+        val = ((val0 << SYM_BITS)
                + (u32(SYM_MAX) & ~sym.astype(u32))) & u32(CODE_TOP - 1)
-        d["offs"] = _sel(need, offs, d["offs"])
-        d["nbits_total"] = _sel(need, d["nbits_total"] + SYM_BITS,
-                                d["nbits_total"])
-        d["rng"] = _sel(need, d["rng"] << SYM_BITS, d["rng"])
-        d["val"] = _sel(need, val, d["val"])
-        d["rem"] = _sel(need, byte, d["rem"])
+        return (_sel(need, offs, offs0),
+                _sel(need, nbt + SYM_BITS, nbt),
+                _sel(need, rng << SYM_BITS, rng),
+                _sel(need, val, val0),
+                _sel(need, byte, rem))
+
+    (d["offs"], d["nbits_total"], d["rng"], d["val"],
+     d["rem"]) = jax.lax.fori_loop(
+        0, 3, body, (d["offs"], d["nbits_total"], d["rng"], d["val"],
+                     d["rem"]))
     return d
 
 
@@ -246,7 +254,9 @@ def rk_dec_bits(d: dict, buf, storage, bits, active=None):
     avail = d["nend_bits"]
     end_offs = d["end_offs"]
     need0 = avail < bits
-    for _ in range(4):
+
+    def refill(_t, carry):
+        window, avail, end_offs = carry
         need = need0 & (avail <= WINDOW_SIZE - SYM_BITS)
         byte, eo = _read_byte_from_end(buf, storage, end_offs)
         window = _sel(need,
@@ -254,6 +264,10 @@ def rk_dec_bits(d: dict, buf, storage, bits, active=None):
                       window)
         avail = _sel(need, avail + SYM_BITS, avail)
         end_offs = _sel(need, eo, end_offs)
+        return window, avail, end_offs
+
+    window, avail, end_offs = jax.lax.fori_loop(
+        0, 4, refill, (window, avail, end_offs))
     bitsu = jnp.maximum(bits, 0).astype(u32)
     mask = jnp.where(bits >= 32, u32(0xFFFFFFFF), (u32(1) << bitsu) - 1)
     ret = window & mask
@@ -271,34 +285,32 @@ def rk_dec_bits(d: dict, buf, storage, bits, active=None):
 
 
 def rk_dec_uint(d: dict, buf, storage, ft, active=None):
-    """ft: i32/u32 array (> 1).  Handles the >8-bit split per lane."""
+    """ft: i32/u32 array (> 1).  Handles the >8-bit split per lane.
+
+    The small (ftb <= 8) and big paths share one decode/update: for the
+    small path sh == 0, so ftrunc == ftm + 1 and the raw-bits read is a
+    0-bit no-op — one traced path instead of two."""
     if active is None:
         active = jnp.ones(d["rng"].shape, bool)
     ftm = jnp.maximum(jnp.asarray(ft).astype(u32), 2) - 1
     ftm = jnp.broadcast_to(ftm, d["rng"].shape)
     ftb = _ilog(ftm)
     big = ftb > UINT_BITS
-    # small path
-    fs_small, d1 = rk_decode(d, (ftm + 1).astype(i32), active & ~big)
-    d1 = rk_update(d1, buf, storage, fs_small, fs_small + 1,
-                   jnp.maximum(ftm + 1, 1).astype(i32), active & ~big)
-    # big path
     sh = jnp.maximum(ftb - UINT_BITS, 0).astype(u32)
     ftrunc = ((ftm >> sh) + 1).astype(i32)
-    fs_big, d2 = rk_decode(d1, ftrunc, active & big)
-    d2 = rk_update(d2, buf, storage, fs_big, fs_big + 1, ftrunc,
-                   active & big)
-    lo, d3 = rk_dec_bits(d2, buf, storage,
+    fs, d1 = rk_decode(d, ftrunc, active)
+    d1 = rk_update(d1, buf, storage, fs, fs + 1, ftrunc, active)
+    lo, d2 = rk_dec_bits(d1, buf, storage,
                          _sel(active & big, sh.astype(i32), 0),
                          active & big)
-    t = ((fs_big.astype(u32) << sh) | lo.astype(u32))
+    t = ((fs.astype(u32) << sh) | lo.astype(u32))
     err = active & big & (t > ftm)
     t = jnp.minimum(t, ftm)
-    ret = _sel(big, t.astype(i32), fs_small)
-    d3 = dict(d3)
-    d3["error"] = d3["error"] | err.astype(i32)
+    ret = _sel(big, t.astype(i32), fs)
+    d2 = dict(d2)
+    d2["error"] = d2["error"] | err.astype(i32)
     ret = _sel(active, ret, 0)
-    return ret, d3
+    return ret, d2
 
 
 def rk_tell(d: dict):
