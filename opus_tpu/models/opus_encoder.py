@@ -308,6 +308,11 @@ class OpusEncoder:
     def set_force_mode(self, mode):
         self.user_forced_mode = mode
 
+    def set_jax_nsq(self, enabled: bool) -> None:
+        """Route SILK's delayed-decision NSQ through the beam-vectorized
+        jax core (bit-exact; the TPU production path)."""
+        self.silk.set_jax_nsq(enabled)
+
     def set_qext(self, enabled: int) -> None:
         """Enable the quality extensions for CELT-only frames
         (reference: OPUS_SET_QEXT src/opus_encoder.c:3221)."""
@@ -688,7 +693,10 @@ class OpusEncoder:
                                         self.vbr, mode, self.complexity,
                                         self.packet_loss_perc)
         if mode != MODE_CELT_ONLY and self.prev_mode == MODE_CELT_ONLY:
-            self.silk = SilkEncoder()    # fresh state like silk_InitEncoder
+            # fresh state like silk_InitEncoder, keeping the NSQ routing
+            self.silk = SilkEncoder(
+                use_jax_nsq=getattr(self.silk.channel, "use_jax_nsq",
+                                    False))
             prefill = 1
 
         # ---- bandwidth decision (reference :1575-1656) ----

@@ -1244,11 +1244,20 @@ class SilkEncoderChannel(ChannelState):
         if self.n_states_delayed_decision > 1 or self.warping_q16 > 0:
             # the reference default at complexity >= 2
             # (reference: silk_NSQ_wrapper_FLP wrappers_FLP.c:96)
-            from .nsq_del_dec import silk_nsq_del_dec
-            silk_nsq_del_dec(self, nsq, indices, x16, pulses,
-                             pred_coef_q12, ltp_coef_q14, ar_q13, hsg_q14,
-                             tilt_q14, lf_shp_q14, gains_q16, pitch_l,
-                             lambda_q10, ltp_scale_q14)
+            if getattr(self, "use_jax_nsq", False):
+                # beam-vectorized [S]-lane twin, bit-exact with the
+                # scalar quantizer (tests/test_nsq_del_dec_jax.py)
+                from .nsq_del_dec_jax import silk_nsq_del_dec_jax
+                silk_nsq_del_dec_jax(
+                    self, nsq, indices, x16, pulses, pred_coef_q12,
+                    ltp_coef_q14, ar_q13, hsg_q14, tilt_q14, lf_shp_q14,
+                    gains_q16, pitch_l, lambda_q10, ltp_scale_q14)
+            else:
+                from .nsq_del_dec import silk_nsq_del_dec
+                silk_nsq_del_dec(self, nsq, indices, x16, pulses,
+                                 pred_coef_q12, ltp_coef_q14, ar_q13,
+                                 hsg_q14, tilt_q14, lf_shp_q14, gains_q16,
+                                 pitch_l, lambda_q10, ltp_scale_q14)
         else:
             silk_nsq(self, nsq, indices, x16, pulses,
                      pred_coef_q12, ltp_coef_q14, ar_q13, hsg_q14, tilt_q14,
@@ -1303,7 +1312,7 @@ _SNR_TABLE_WB = TD.TARGETRATE_WB_21 if hasattr(TD, "TARGETRATE_WB_21") else None
 class SilkEncoder:
     """silk_Encode equivalent (mono; reference: silk/enc_API.c:150)."""
 
-    def __init__(self):
+    def __init__(self, use_jax_nsq: bool = False):
         self.channels = [SilkEncoderChannel(), SilkEncoderChannel()]
         self.channel = self.channels[0]   # mono alias
         self.stereo = StereoEncState()
@@ -1311,6 +1320,14 @@ class SilkEncoder:
         self.n_frames_per_packet = 1
         # bit-reservoir state (reference: silk_encoder.nBitsExceeded)
         self.n_bits_exceeded = 0
+        self.set_jax_nsq(use_jax_nsq)
+
+    def set_jax_nsq(self, enabled: bool) -> None:
+        """Route the delayed-decision NSQ through the beam-vectorized
+        jax core (bit-exact twin of the scalar quantizer; the TPU
+        production path)."""
+        for ch in self.channels:
+            ch.use_jax_nsq = bool(enabled)
 
     def encode(self, enc: RangeEncoder, pcm_api, *, api_fs_hz,
                internal_fs_hz, payload_ms, bitrate_bps, max_bits,
