@@ -1413,7 +1413,10 @@ def fused_celt_decode_to_pcm(buf, lens, state, tabs: DecTabs):
     silence = out["silence"] != 0
     transient = out["is_transient"] != 0
 
-    x = jnp.stack(out["X"], axis=-1)[:, None, :]          # [B, 1, N]
+    # X covers the coded range M*eBands[nb]; pad the uncoded tail
+    n_full = tabs.mode.shortMdctSize << tabs.lm
+    x = jnp.stack(out["X"], axis=-1)
+    x = jnp.pad(x, ((0, 0), (0, n_full - x.shape[1])))[:, None, :]
     energies = jnp.stack(out["energies"], axis=-1)[:, None, :]
 
     # postfilter phases (old, current, new) per celt_decoder.c:1560-1596
@@ -1450,7 +1453,10 @@ def fused_celt_decode_to_pcm(buf, lens, state, tabs: DecTabs):
         pf_old = (pp, state["pf_gain"], state["pf_tapset"])
     new_state = dict(
         old_e=e_sil, prev1=new_prev1, prev2=new_prev2,
-        seed=st2["seed"],
+        # the PRNG seed for the next frame's fold/noise is the final
+        # range-coder rng, not the evolved LCG state
+        # (celt_decoder.c:1602 st->rng = dec->rng)
+        seed=st2["d"]["rng"],
         pf_period_old=pf_old[0], pf_gain_old=pf_old[1],
         pf_tapset_old=pf_old[2],
         pf_period=out["pf_pitch"], pf_gain=out["pf_gain"],

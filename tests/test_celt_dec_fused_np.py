@@ -66,3 +66,45 @@ def test_fused_celt_decode_numpy_twin(frame_size, nframes):
             f"({np.abs(X[i] - t['X'][:X.shape[1]]).max()})"
         assert np.allclose(energies[i], t["energies"], atol=1e-4), \
             f"frame {i}: energies"
+
+
+def test_fused_celt_decoder_pcm_twin():
+    """End-to-end packets->PCM: the FusedCeltDecoder pipeline (symbol
+    decode under the numpy twin + the jitted synthesis DSP) against the
+    scalar decoder's PCM over consecutive 20 ms frames, exercising the
+    cross-frame state carry (energy memory, postfilter phases, oldLogE
+    shift, deemphasis)."""
+    from opus_tpu.models.opus_decoder import OpusDecoder
+
+    frame_size, nframes = 960, 6
+    frames = _encode_frames(frame_size, nframes=nframes, bitrate=64000)
+    dec = OpusDecoder(48000, 1)
+    ref_pcm = [np.array(dec.decode(bytes([0xF8]) + f))
+               for f in frames]
+
+    saved = np_shim.install()
+    try:
+        from opus_tpu.models.celt_dec_fused import (
+            DecTabs, fused_celt_decode_to_pcm, fused_celt_init_state)
+        from opus_tpu.ops import rc_kernel as K
+
+        tabs = DecTabs(48000, frame_size)
+        state = fused_celt_init_state(2, tabs)
+        got = []
+        cap = (max(len(f) for f in frames) + 3) // 4 * 4
+        for f in frames:
+            a = np.frombuffer(f, np.uint8)
+            bufb = np.zeros((2, cap), np.uint32)
+            bufb[:, :len(a)] = a
+            lens = np.full(2, len(a), np.int32)
+            buf = K.pack_words(bufb, cap)
+            pcm, state, err = fused_celt_decode_to_pcm(
+                buf, lens, state, tabs)
+            assert not np.asarray(err).any()
+            got.append(np.asarray(pcm)[0, 0])
+    finally:
+        np_shim.uninstall(saved)
+
+    for i, (g, r) in enumerate(zip(got, ref_pcm)):
+        err = np.abs(g - r)
+        assert err.max() < 1e-5, f"frame {i}: PCM max err {err.max()}"
