@@ -58,6 +58,18 @@ def _sel(mask, a, b):
     return jnp.where(mask, a, b)
 
 
+def _rowset(arr, idx, val):
+    """arr[b, idx[b]] = val[b] with out-of-range idx dropped.  Module-
+    level so tests/np_shim.py can rebind it for eager numpy runs."""
+    b = arr.shape[0]
+    return arr.at[jnp.arange(b), idx].set(val, mode="drop")
+
+
+def _rowtake(arr, idx):
+    """arr[b, idx[b]] (idx must be in range)."""
+    return jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+
+
 def _tree_sel(mask, new, old):
     return jax.tree.map(lambda n, o: jnp.where(
         mask if n.ndim == 1 else mask.reshape((-1,) + (1,) * (n.ndim - 1)),
@@ -311,10 +323,8 @@ def re_init(batch: int, nbytes: int) -> RE:
 
 
 def _append_digit(e: RE, c, mask) -> RE:
-    b = e.digits.shape[0]
     idx = _sel(mask, e.ndigits, e.digits.shape[1])   # OOB -> dropped
-    digits = e.digits.at[jnp.arange(b), idx].set(
-        c.astype(i32), mode="drop")
+    digits = _rowset(e.digits, idx, c.astype(i32))
     return e._replace(digits=digits,
                       ndigits=_sel(mask, e.ndigits + 1, e.ndigits))
 
@@ -358,10 +368,12 @@ def re_encode_bin(e: RE, fl, fh, bits: int, active=None):
     return _re_sel(active, new, e)
 
 
-def re_enc_bit_logp(e: RE, bit, logp: int, active=None):
+def re_enc_bit_logp(e: RE, bit, logp, active=None):
     if active is None:
         active = jnp.ones(e.rng.shape, bool)
     r = e.rng
+    if not isinstance(logp, int):
+        logp = logp.astype(u32)
     s = r >> logp
     bit = bit.astype(bool) if hasattr(bit, "astype") else jnp.asarray(
         bit, bool)
@@ -405,8 +417,8 @@ def re_enc_bits(e: RE, fl, bits, active=None):
     for _ in range(4):
         need = flush & (used >= SYM_BITS)
         idx = _sel(need, nend, endbuf.shape[1])
-        endbuf = endbuf.at[jnp.arange(b), idx].set(
-            (window & u32(SYM_MAX)).astype(i32), mode="drop")
+        endbuf = _rowset(endbuf, idx,
+                         (window & u32(SYM_MAX)).astype(i32))
         nend = _sel(need, nend + 1, nend)
         window = _sel(need, window >> SYM_BITS, window)
         used = _sel(need, used - SYM_BITS, used)
@@ -475,8 +487,8 @@ def re_finalize(e: RE, nbytes: int):
     for _ in range(4):
         need = used >= SYM_BITS
         idx = _sel(need, nend, endbuf.shape[1])
-        endbuf = endbuf.at[jnp.arange(b), idx].set(
-            (window & u32(SYM_MAX)).astype(i32), mode="drop")
+        endbuf = _rowset(endbuf, idx,
+                         (window & u32(SYM_MAX)).astype(i32))
         nend = _sel(need, nend + 1, nend)
         window = _sel(need, window >> SYM_BITS, window)
         used = _sel(need, used - SYM_BITS, used)

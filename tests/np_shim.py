@@ -55,6 +55,22 @@ class _Lax:
         return (n - (v > 0).astype(np.int32)).astype(np.uint32)
 
     @staticmethod
+    def associative_scan(fn, elems, axis=0):
+        # sequential left fold (matches the parallel scan's semantics)
+        elems = tuple(np.asarray(e) for e in elems)
+        n = elems[0].shape[axis]
+        outs = [np.empty_like(e) for e in elems]
+        acc = None
+        for t in range(n):
+            cur = tuple(np.take(e, t, axis=axis) for e in elems)
+            acc = cur if acc is None else fn(acc, cur)
+            for o, a in zip(outs, acc):
+                sl = [slice(None)] * o.ndim
+                sl[axis] = t
+                o[tuple(sl)] = a
+        return tuple(outs)
+
+    @staticmethod
     def dynamic_index_in_dim(x, i, axis=0, keepdims=True):
         out = np.take(x, int(i), axis=axis)
         return np.expand_dims(out, axis) if keepdims else out
@@ -100,18 +116,42 @@ class _Jnp:
         return np.take(np.asarray(a), np.asarray(idx), axis=axis)
 
     @staticmethod
+    def matmul(a, b, preferred_element_type=None):
+        out = np.matmul(a, b)
+        return out.astype(preferred_element_type) \
+            if preferred_element_type is not None else out
+
+    @staticmethod
     def exp2(x):
         x = np.asarray(x)
         return np.exp2(x).astype(
             x.dtype if x.dtype.kind == "f" else np.float32)
 
 
+class _Tree:
+    @staticmethod
+    def map(fn, *trees):
+        import jax as _real_jax
+        return _real_jax.tree.map(fn, *trees)
+
+
 class _Jax:
     lax = _Lax()
+    tree = _Tree()
 
 
 _SHIM_JNP = _Jnp()
 _SHIM_JAX = _Jax()
+
+
+def _np_rowset(arr, idx, val):
+    out = np.array(arr)
+    idx = np.asarray(idx)
+    ok = (idx >= 0) & (idx < out.shape[1])
+    rows = np.arange(out.shape[0])[ok]
+    out[rows, idx[ok]] = np.broadcast_to(np.asarray(val),
+                                         idx.shape)[ok].astype(out.dtype)
+    return out
 
 
 def install(extra_modules=()):
@@ -119,17 +159,29 @@ def install(extra_modules=()):
     list for uninstall()."""
     import opus_tpu.ops.rc_kernel as K
     import opus_tpu.models.celt_dec_fused as F
+    import opus_tpu.ops.range_vec as V
 
-    mods = list(extra_modules) + [K, F]
+    mods = list(extra_modules) + [K, F, V]
+    # jnp.float32(x) & co build DEVICE scalars; rebind the modules'
+    # dtype-constructor globals to numpy scalar types so shimmed
+    # modules stay off the jax runtime entirely
+    np_dtypes = {"f32": np.float32, "i32": np.int32, "u32": np.uint32}
     saved = []
     for m in mods:
-        saved.append((m, m.jnp, m.jax))
+        old = {a: getattr(m, a) for a in
+               ("jnp", "jax", "_rowset", *np_dtypes) if hasattr(m, a)}
+        saved.append((m, old))
         m.jnp = _SHIM_JNP
         m.jax = _SHIM_JAX
+        if "_rowset" in old:
+            m._rowset = _np_rowset
+        for a, d in np_dtypes.items():
+            if a in old:
+                setattr(m, a, d)
     return saved
 
 
 def uninstall(saved):
-    for m, jnp_, jax_ in saved:
-        m.jnp = jnp_
-        m.jax = jax_
+    for m, old in saved:
+        for a, v in old.items():
+            setattr(m, a, v)
