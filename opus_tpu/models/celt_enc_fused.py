@@ -42,7 +42,7 @@ from ..celt import cwrs
 from ..celt.modes import get_pulses
 from ..celt.tables import E_PROB_MODEL, E_MEANS
 from ..celt.encoder import _INV_TABLE
-from ..ops import range_vec as V
+from ..ops import range_plan as V
 from ..ops.range_vec import i32, u32, _sel, _ilog
 from ..ops.mdct import _forward_basis
 from .celt_dec_fused import (
@@ -50,7 +50,7 @@ from .celt_dec_fused import (
     _bitexact_log2tan, _compute_qn_vec, _sudiv, _haar1,
     _deinterleave_hadamard, _fill_interleave, _band_variants,
     BIT_INTERLEAVE_TABLE, EXP2_TABLE8, TRIM_ICDF, SPREAD_ICDF,
-    TF_SELECT_TABLE, SMALL_ENERGY_ICDF, QTHETA_OFFSET)
+    TF_SELECT_TABLE, SMALL_ENERGY_ICDF, QTHETA_OFFSET, ORDERY_TABLE)
 
 BITRES = 3
 MAX_FINE_BITS = 8
@@ -303,14 +303,6 @@ def _laplace_encode(e, qi, fs0: int, decay: int, active):
 # coarse energy (two-pass intra/inter trial)                            #
 # ===================================================================== #
 
-def _re_select_full(mask, a: V.RE, b: V.RE) -> V.RE:
-    """Per-lane select of the FULL encoder state, buffers included."""
-    def sel(x, y):
-        m = mask if x.ndim == 1 else mask[:, None]
-        return jnp.where(m, x, y)
-    return V.RE(*[sel(x, y) for x, y in zip(a, b)])
-
-
 def _coarse_impl(e, x_bands, old_e, budget, tell0, pm, coef: float,
                  beta: float, intra_bit, max_decay, nb: int, active):
     """_quant_coarse_impl (quant_bands.c:156), mono.  x_bands/old_e:
@@ -393,7 +385,7 @@ def _quant_coarse_energy(e, x_bands, old_e, budget, lm: int,
     pick_intra = two_pass & (
         (bad1 < bad2)
         | ((bad1 == bad2) & (tell_inter + intra_bias > tell_intra)))
-    e_out = _re_select_full(pick_intra, e1, e2)
+    e_out = V.re_select(pick_intra, e1, e2, e)
     old_out = [_sel(pick_intra, a, b) for a, b in zip(old1, old2)]
     err_out = [_sel(pick_intra, a, b) for a, b in zip(err1, err2)]
     pc = PRED_COEF[tabs.lm]
@@ -530,8 +522,8 @@ def _quanta(width: int):
 # tf analysis + encode                                                  #
 # ===================================================================== #
 
-def _l1_vec(xs, bias_lm, bias):
-    l1 = _tree_sum([jnp.abs(x) for x in xs])
+def _l1_vec(x, bias_lm, bias):
+    l1 = jnp.sum(jnp.abs(x), axis=1)
     return l1 + bias_lm * bias * l1
 
 
@@ -548,19 +540,19 @@ def _tf_analysis(X, tabs: EncTabs, is_transient, tf_estimate, lam: int,
         base = int(tabs.eBands[i]) * m
         n = int(tabs.width[i])
         narrow = (int(tabs.eBands[i + 1] - tabs.eBands[i])) == 1
-        xs = [X[:, base + j] for j in range(n)]
+        xs = X[:, base:base + n]
         # transient variant (tv=1)
         best_l1_t = _l1_vec(xs, lm, bias)
         best_lv_t = jnp.zeros_like(best_l1_t, i32)
         if not narrow:
-            tmp1 = _haar1(list(xs), n >> lm, 1 << lm)
+            tmp1 = _haar1_arr(xs, n >> lm, 1 << lm)
             l1 = _l1_vec(tmp1, lm + 1, bias)
             better = l1 < best_l1_t
             best_l1_t = jnp.minimum(l1, best_l1_t)
             best_lv_t = _sel(better, -1, best_lv_t)
-        tmp = list(xs)
-        for k in range(lm if not narrow else lm):
-            tmp = _haar1(tmp, n >> k, 1 << k)
+        tmp = xs
+        for k in range(lm):
+            tmp = _haar1_arr(tmp, n >> k, 1 << k)
             bb = lm - k - 1
             l1 = _l1_vec(tmp, bb, bias)
             better = l1 < best_l1_t
@@ -569,9 +561,9 @@ def _tf_analysis(X, tabs: EncTabs, is_transient, tf_estimate, lam: int,
         # non-transient variant (tv=0)
         best_l1_n = _l1_vec(xs, 0, bias)
         best_lv_n = jnp.zeros_like(best_l1_n, i32)
-        tmp = list(xs)
+        tmp = xs
         for k in range(lm if narrow else lm + 1):
-            tmp = _haar1(tmp, n >> k, 1 << k)
+            tmp = _haar1_arr(tmp, n >> k, 1 << k)
             bb = k + 1
             l1 = _l1_vec(tmp, bb, bias)
             better = l1 < best_l1_n
@@ -1006,10 +998,75 @@ def _v_table(n: int, kcap: int) -> np.ndarray:
                            np.uint32)
 
 
-def _exp_rotation_enc(xs, n: int, stride_lanes, stride_vals, k, spread,
+def _haar1_arr(x, n0: int, stride: int):
+    """haar1 (bands.c:623) on [B, n]: first n0*stride columns viewed as
+    [n0, stride], butterflies on row pairs (2j, 2j+1)."""
+    b, n = x.shape
+    reg = n0 * stride
+    head = x[:, :reg].reshape(b, n0 // 2, 2, stride)
+    t = f32(math.sqrt(0.5)) * head
+    y = jnp.stack([t[:, :, 0, :] + t[:, :, 1, :],
+                   t[:, :, 0, :] - t[:, :, 1, :]], axis=2)
+    head = y.reshape(b, reg)
+    if reg == n:
+        return head
+    return jnp.concatenate([head, x[:, reg:]], axis=1)
+
+
+@lru_cache(maxsize=None)
+def _hadamard_perm(stride: int, hadamard: bool) -> np.ndarray:
+    perm = np.arange(stride)
+    if hadamard:
+        ordery = ORDERY_TABLE[stride]
+        for i in range(stride):
+            perm[ordery[i]] = i
+    return perm
+
+
+def _deinterleave_hadamard_arr(x, n0: int, stride: int, hadamard: bool):
+    """deinterleave_hadamard (bands.c) on [B, n]."""
+    b, n = x.shape
+    assert n == n0 * stride
+    m = x.reshape(b, n0, stride).transpose(0, 2, 1)   # [B, i, j]
+    m = m[:, _hadamard_perm(stride, hadamard), :]
+    return m.reshape(b, n)
+
+
+def _rot_pass(x, length: int, stride: int, c, s):
+    """_exp_rotation1 (vq.c:83) over [B, S, length] segments, looped
+    with O(1) graph size.  c/s: [B] lanes."""
+    cb = c[:, None]
+    sb = s[:, None]
+    msb = -sb
+
+    def fwd(i, x):
+        x1 = jax.lax.dynamic_slice_in_dim(x, i, 1, 2)[:, :, 0]
+        x2 = jax.lax.dynamic_slice_in_dim(x, i + stride, 1, 2)[:, :, 0]
+        x = jax.lax.dynamic_update_slice_in_dim(
+            x, (cb * x2 + sb * x1)[:, :, None], i + stride, 2)
+        x = jax.lax.dynamic_update_slice_in_dim(
+            x, (cb * x1 + msb * x2)[:, :, None], i, 2)
+        return x
+
+    x = jax.lax.fori_loop(0, max(length - stride, 0), fwd, x)
+
+    def bwd(t, x):
+        i = length - 2 * stride - 1 - t
+        x1 = jax.lax.dynamic_slice_in_dim(x, i, 1, 2)[:, :, 0]
+        x2 = jax.lax.dynamic_slice_in_dim(x, i + stride, 1, 2)[:, :, 0]
+        x = jax.lax.dynamic_update_slice_in_dim(
+            x, (cb * x2 + sb * x1)[:, :, None], i + stride, 2)
+        x = jax.lax.dynamic_update_slice_in_dim(
+            x, (cb * x1 + msb * x2)[:, :, None], i, 2)
+        return x
+
+    x = jax.lax.fori_loop(0, max(length - 2 * stride, 0), bwd, x)
+    return x
+
+
+def _exp_rotation_enc(x, n: int, stride_lanes, stride_vals, k, spread,
                       active):
-    """exp_rotation direction=+1 (encode side of vq.c:104)."""
-    from .celt_dec_fused import _exp_rotation1
+    """exp_rotation direction=+1 (encode side of vq.c:104); x [B, n]."""
     factor = _sel(spread == 1, f32(15.0),
                   _sel(spread == 2, f32(10.0), f32(5.0)))
     kf = k.astype(f32)
@@ -1018,7 +1075,8 @@ def _exp_rotation_enc(xs, n: int, stride_lanes, stride_vals, k, spread,
     c = jnp.cos(f32(0.5 * math.pi) * theta)
     s = jnp.cos(f32(0.5 * math.pi) * (f32(1.0) - theta))
     do = active & (spread != SPREAD_NONE) & (2 * k < n)
-    out = list(xs)
+    out = x
+    b = x.shape[0]
     for sv in stride_vals:
         if n < sv:
             continue
@@ -1028,22 +1086,19 @@ def _exp_rotation_enc(xs, n: int, stride_lanes, stride_vals, k, spread,
             while (stride2 * stride2 + stride2) * sv + (sv >> 2) < n:
                 stride2 += 1
         length = n // sv
-        cur = list(xs)
-        for seg in range(sv):
-            sub = cur[seg * length:(seg + 1) * length]
-            sub = _exp_rotation1(sub, length, 1, c, -s)
-            if stride2:
-                sub = _exp_rotation1(sub, length, stride2, s, -c)
-            cur[seg * length:(seg + 1) * length] = sub
+        segs = x.reshape(b, sv, length)
+        segs = _rot_pass(segs, length, 1, c, -s)
+        if stride2:
+            segs = _rot_pass(segs, length, stride2, s, -c)
+        cur = segs.reshape(b, n)
         m = do & (stride_lanes == sv)
-        out = [_sel(m, cv, ov) for cv, ov in zip(cur, out)]
+        out = jnp.where(m[:, None], cur, out)
     return out
 
 
-def _pvq_search(xs, n: int, k, kcap: int, active):
+def _pvq_search(X, n: int, k, kcap: int, active):
     """op_pvq_search (vq.c:205): [B, n] greedy argmax pulse search.
     Returns iy [B, n] i32 (signed)."""
-    X = jnp.stack(xs, axis=-1)
     xa = jnp.abs(X)
     signs = jnp.where(X < 0, -1, 1).astype(i32)
     iota = jnp.arange(n)
@@ -1130,8 +1185,8 @@ def _compute_theta_mono_enc(e, ctx, tabs: EncTabs, band: int, n2: int, b,
     offset = (pulse_cap >> 1) - QTHETA_OFFSET
     qn = _compute_qn_vec(n2, b, offset, pulse_cap)
     tell0 = V.re_tell_frac(e)
-    emid = _tree_sum([x * x for x in xs_m]) + f32(EPSILON)
-    eside = _tree_sum([x * x for x in xs_s]) + f32(EPSILON)
+    emid = jnp.sum(xs_m * xs_m, axis=1) + f32(EPSILON)
+    eside = jnp.sum(xs_s * xs_s, axis=1) + f32(EPSILON)
     itheta_raw = jnp.floor(
         f32(0.5) + f32(16384 * 0.63662)
         * jnp.arctan2(jnp.sqrt(eside), jnp.sqrt(emid))).astype(i32)
@@ -1195,8 +1250,8 @@ def _quant_partition_enc(e, ctx, tabs: EncTabs, band: int, n: int,
         b0 = bb
         bb2 = (bb + 1) >> 1
         bb2_vals = tuple(sorted({(v + 1) >> 1 for v in bb_vals}))
-        xs_m = xs[:n2]
-        xs_s = xs[n2:]
+        xs_m = xs[:, :n2]
+        xs_s = xs[:, n2:]
         b_s, sctx, e, ctx = _compute_theta_mono_enc(
             e, ctx, tabs, band, n2, b, bb2, b0, lm2, xs_m, xs_s, split)
         itheta = sctx["itheta"]
@@ -1210,7 +1265,7 @@ def _quant_partition_enc(e, ctx, tabs: EncTabs, band: int, n: int,
         sbits = b_s - mbits
         swap = split & (mbits < sbits)
 
-        x_v0 = [_sel(swap, s_, m_) for m_, s_ in zip(xs_m, xs_s)]
+        x_v0 = jnp.where(swap[:, None], xs_s, xs_m)
         b_v0 = _sel(swap, sbits, mbits)
         rb_before = ctx["rb"]
         e, ctx = _quant_partition_enc(e, ctx, tabs, band, n2, lm2, b_v0,
@@ -1222,7 +1277,7 @@ def _quant_partition_enc(e, ctx, tabs: EncTabs, band: int, n: int,
                      & (itheta != anchor),
                      rebalance - (3 << BITRES), 0)
         b_v1 = _sel(swap, mbits, sbits) + extra
-        x_v1 = [_sel(swap, m_, s_) for m_, s_ in zip(xs_m, xs_s)]
+        x_v1 = jnp.where(swap[:, None], xs_m, xs_s)
         e, ctx = _quant_partition_enc(e, ctx, tabs, band, n2, lm2, b_v1,
                                       bb2, bb2_vals, x_v1, split)
         leaf_active = active & ~split
@@ -1277,28 +1332,28 @@ def _quant_band_mono_enc(e, ctx, tabs: EncTabs, band: int, n: int, b,
     """quant_band, mono encode (bands.c:1245): input-side tf/hadamard
     transforms on x, then the split recursion."""
     if n == 1:
-        return _quant_band_n1_enc(e, ctx, xs[0], active)
+        return _quant_band_n1_enc(e, ctx, xs[:, 0], active)
     variants = _band_variants(tabs, n)
     masks = [active & (transient == v["tv"]) & (tf_change == v["tfv"])
              for v in variants]
-    xs_f = list(xs)
+    xs_f = xs
     bb_lanes = jnp.zeros_like(b)
     bb_vals = set()
     for v, m in zip(variants, masks):
-        xv = list(xs)
+        xv = xs
         for kk in range(v["recombine"]):
-            xv = _haar1(xv, n >> kk, 1 << kk)
+            xv = _haar1_arr(xv, n >> kk, 1 << kk)
         bb = v["B0"] >> v["recombine"]
         n_b = (n // v["B0"]) << v["recombine"]
         for _ in range(v["tdiv"]):
-            xv = _haar1(xv, n_b, bb)
+            xv = _haar1_arr(xv, n_b, bb)
             bb <<= 1
             n_b >>= 1
         if v["b0_final"] > 1:
-            xv = _deinterleave_hadamard(
+            xv = _deinterleave_hadamard_arr(
                 xv, v["n_b0"] >> v["recombine"],
                 v["b0_final"] << v["recombine"], v["long"])
-        xs_f = [_sel(m, a, o) for a, o in zip(xv, xs_f)]
+        xs_f = jnp.where(m[:, None], xv, xs_f)
         bb_lanes = _sel(m, v["b0_final"], bb_lanes)
         bb_vals.add(v["b0_final"])
 
@@ -1332,7 +1387,7 @@ def quant_all_bands_mono_enc(e, tabs: EncTabs, X, is_transient, tf_res,
                                       pulses[i] + curr_balance), 0, 16383),
                  0)
         base = m * eB[i]
-        xs = [X[:, base + j] for j in range(n)]
+        xs = X[:, base:base + n]
         e, ctx = _quant_band_mono_enc(e, ctx, tabs, i, n, b,
                                       is_transient.astype(i32),
                                       tf_res[i], xs, active)
@@ -1558,8 +1613,7 @@ def fused_celt_encode_frame(pcm, state, tabs: EncTabs, nbytes: int,
     new_consec = _sel(is_transient | transient_got_disabled,
                       state["consec_transient"] + 1, 0)
 
-    payload, err = V.re_finalize(e, nbytes)
-    rng = e.rng
+    payload, err, rng = V.re_finalize(e, nbytes)
 
     new_state = dict(
         mem=dsp["mem"], hist=dsp["hist"], overlap_max=new_overlap_max,

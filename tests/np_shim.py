@@ -76,6 +76,22 @@ class _Lax:
         return np.expand_dims(out, axis) if keepdims else out
 
     @staticmethod
+    def dynamic_slice_in_dim(x, start, size, axis=0):
+        sl = [slice(None)] * np.ndim(x)
+        start = int(start)
+        sl[axis] = slice(start, start + size)
+        return np.asarray(x)[tuple(sl)]
+
+    @staticmethod
+    def dynamic_update_slice_in_dim(x, upd, start, axis=0):
+        out = np.array(x)
+        sl = [slice(None)] * out.ndim
+        start = int(start)
+        sl[axis] = slice(start, start + np.shape(upd)[axis])
+        out[tuple(sl)] = upd
+        return out
+
+    @staticmethod
     def broadcasted_iota(dtype, shape, dimension):
         r = np.arange(shape[dimension], dtype=dtype)
         view = [1] * len(shape)
@@ -160,8 +176,9 @@ def install(extra_modules=()):
     import opus_tpu.ops.rc_kernel as K
     import opus_tpu.models.celt_dec_fused as F
     import opus_tpu.ops.range_vec as V
+    import opus_tpu.ops.range_plan as P
 
-    mods = list(extra_modules) + [K, F, V]
+    mods = list(extra_modules) + [K, F, V, P]
     # jnp.float32(x) & co build DEVICE scalars; rebind the modules'
     # dtype-constructor globals to numpy scalar types so shimmed
     # modules stay off the jax runtime entirely
