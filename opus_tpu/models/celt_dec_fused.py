@@ -150,6 +150,217 @@ def _lcg(seed):
     return (seed.astype(u32) * u32(1664525) + u32(1013904223))
 
 
+@lru_cache(maxsize=None)
+def _lcg_tabs(n: int):
+    """Closed-form LCG chains: seed_j = a_pows[j]*seed0 + c_sums[j]
+    (mod 2^32) after j celt_lcg_rand steps."""
+    a_p = np.zeros(n + 1, np.uint64)
+    c_s = np.zeros(n + 1, np.uint64)
+    a_p[0] = 1
+    for j in range(1, n + 1):
+        a_p[j] = (a_p[j - 1] * 1664525) & 0xFFFFFFFF
+        c_s[j] = (c_s[j - 1] * 1664525 + 1013904223) & 0xFFFFFFFF
+    return a_p.astype(np.uint32), c_s.astype(np.uint32)
+
+
+# ===================================================================== #
+# shared [B, n] array helpers (used by the encode twin too)             #
+# ===================================================================== #
+
+def _haar1_arr(x, n0: int, stride: int):
+    """haar1 (bands.c:623) on [B, n]: first n0*stride columns viewed as
+    [n0, stride], butterflies on row pairs (2j, 2j+1)."""
+    b, n = x.shape
+    reg = n0 * stride
+    head = x[:, :reg].reshape(b, n0 // 2, 2, stride)
+    t = f32(math.sqrt(0.5)) * head
+    y = jnp.stack([t[:, :, 0, :] + t[:, :, 1, :],
+                   t[:, :, 0, :] - t[:, :, 1, :]], axis=2)
+    head = y.reshape(b, reg)
+    if reg == n:
+        return head
+    return jnp.concatenate([head, x[:, reg:]], axis=1)
+
+
+@lru_cache(maxsize=None)
+def _hadamard_perm(stride: int, hadamard: bool, inverse: bool):
+    """Row permutation for (de)interleave_hadamard."""
+    perm = np.arange(stride)
+    if hadamard:
+        ordery = ORDERY_TABLE[stride]
+        if inverse:
+            perm = np.asarray(ordery)
+        else:
+            for i in range(stride):
+                perm[ordery[i]] = i
+    return perm
+
+
+def _deinterleave_hadamard_arr(x, n0: int, stride: int, hadamard: bool):
+    b, n = x.shape
+    assert n == n0 * stride
+    m = x.reshape(b, n0, stride).transpose(0, 2, 1)   # [B, i, j]
+    m = m[:, _hadamard_perm(stride, hadamard, False), :]
+    return m.reshape(b, n)
+
+
+def _interleave_hadamard_arr(x, n0: int, stride: int, hadamard: bool):
+    b, n = x.shape
+    assert n == n0 * stride
+    m = x.reshape(b, stride, n0)
+    m = m[:, _hadamard_perm(stride, hadamard, True), :]
+    return m.transpose(0, 2, 1).reshape(b, n)
+
+
+@lru_cache(maxsize=None)
+def _class_maps(length: int, stride: int):
+    """Static index maps viewing [length] as [stride, M] residue
+    classes (padded), plus the inverse scatter order."""
+    m = -(-length // stride)
+    idx = np.full((stride, m), length, np.int32)       # pad -> OOB slot
+    for p in range(length):
+        idx[p % stride, p // stride] = p
+    inv = np.zeros(length, np.int32)
+    for r in range(stride):
+        for j in range(m):
+            if idx[r, j] < length:
+                inv[idx[r, j]] = r * m + j
+    return idx, inv, m
+
+
+def _rot_pass(x, length: int, stride: int, c, s):
+    """_exp_rotation1 (vq.c:83) over [B, S, length] segments in closed
+    form: both passes are per-residue-class first-order recurrences
+    (a_p = c*u_p + s*a_{p-stride}), solved with one associative scan
+    each instead of O(length) sequential steps.  c/s: [B] lanes."""
+    bsz, seg, _ = x.shape
+    cb = c[:, None, None]
+    sb = s[:, None, None]
+
+    def comb(ea, eb):
+        a1, b1 = ea
+        a2, b2 = eb
+        return (a1 * a2, b2 + a2 * b1)
+
+    idx, inv, m = _class_maps(length, stride)
+    idxj = jnp.asarray(idx.reshape(-1))
+    invj = jnp.asarray(inv)
+
+    def classes(u):
+        up = jnp.concatenate([u, jnp.zeros_like(u[:, :, :1])], axis=2)
+        return jnp.take(up, idxj, axis=2).reshape(bsz, seg, stride, m)
+
+    def declass(v):
+        return jnp.take(v.reshape(bsz, seg, stride * m), invj, axis=2)
+
+    # ---- forward: a_p = c*u_p + s*a_{p-stride}; a_p = u_p for p<stride
+    # out_p = c*a_p - s*u_{p+stride} for p <= L-stride-1, else a_p
+    u = x
+    uc = classes(u)
+    aa = jnp.broadcast_to(sb[..., None], uc.shape)
+    bb = cb[..., None] * uc
+    aa = jnp.concatenate([jnp.zeros_like(aa[..., :1]), aa[..., 1:]],
+                         axis=3)
+    bb = jnp.concatenate([uc[..., :1], bb[..., 1:]], axis=3)
+    _, a_cls = jax.lax.associative_scan(comb, (aa, bb), axis=3)
+    a = declass(a_cls)
+    u_sh = jnp.concatenate([u[:, :, stride:],
+                            jnp.zeros_like(u[:, :, :stride])], axis=2)
+    pos = jnp.arange(length)
+    fwd_lo = cb * a - sb * u_sh
+    u = jnp.where((pos <= length - stride - 1)[None, None, :], fwd_lo, a)
+    if length - 2 * stride <= 0:
+        return u
+    # ---- backward: v_p = c*u_p - s*v_{p+stride} (descending classes);
+    # v defined for p <= L-2*stride-1, else v_p reads u
+    lim = length - 2 * stride                     # iterations p < lim
+    ur = u[:, :, ::-1]
+    urc = classes(ur)
+    aa = jnp.broadcast_to(-sb[..., None], urc.shape)
+    bb = cb[..., None] * urc
+    # reversed position rp = length-1-p; recurrence runs along rp with
+    # v(rp) = c*u(rp) - s*v(rp - stride); seeds rp < 2*stride: v = u
+    rpos_cls = jnp.take(
+        jnp.concatenate([pos, jnp.asarray([length], i32)]), idxj,
+        axis=0).reshape(stride, m)
+    seed_row = (rpos_cls < 2 * stride)[None, None, :, :]
+    aa = jnp.where(seed_row, 0.0, aa)
+    bb = jnp.where(seed_row, urc, bb)
+    _, v_cls = jax.lax.associative_scan(comb, (aa, bb), axis=3)
+    v = declass(v_cls)[:, :, ::-1]
+    # final values: p in [s, L-s-1]: c*w + s*u_{p-s} where
+    # w = v_p if p <= L-2s-1 else u_p;  p in [0, s): v_p;
+    # p in [L-s, L-1]: u_p   (u here = forward-pass output)
+    w = jnp.where((pos <= length - 2 * stride - 1)[None, None, :], v, u)
+    u_prev = jnp.concatenate([jnp.zeros_like(u[:, :, :stride]),
+                              u[:, :, :-stride]], axis=2)
+    w_prev = jnp.concatenate([jnp.zeros_like(w[:, :, :stride]),
+                              w[:, :, :-stride]], axis=2)
+    x2write = cb * w + sb * u_prev
+    out = jnp.where((pos < stride)[None, None, :], v,
+                    jnp.where((pos <= length - stride - 1)[None, None, :],
+                              x2write, u))
+    return out
+
+
+def _exp_rotation_arr(x, n: int, stride_lanes, stride_vals, k, spread,
+                      active, encode: bool):
+    """exp_rotation (vq.c:104) on [B, n]; per-lane stride/spread/k."""
+    factor = _sel(spread == 1, f32(15.0),
+                  _sel(spread == 2, f32(10.0), f32(5.0)))
+    kf = k.astype(f32)
+    gain = f32(1.0) * n / (n + factor * kf)
+    theta = f32(0.5) * gain * gain
+    c = jnp.cos(f32(0.5 * math.pi) * theta)
+    s = jnp.cos(f32(0.5 * math.pi) * (f32(1.0) - theta))
+    do = active & (spread != SPREAD_NONE) & (2 * k < n)
+    out = x
+    b = x.shape[0]
+    for sv in stride_vals:
+        if n < sv:
+            continue
+        stride2 = 0
+        if n >= 8 * sv:
+            stride2 = 1
+            while (stride2 * stride2 + stride2) * sv + (sv >> 2) < n:
+                stride2 += 1
+        length = n // sv
+        segs = x.reshape(b, sv, length)
+        if encode:
+            segs = _rot_pass(segs, length, 1, c, -s)
+            if stride2:
+                segs = _rot_pass(segs, length, stride2, s, -c)
+        else:
+            if stride2:
+                segs = _rot_pass(segs, length, stride2, s, c)
+            segs = _rot_pass(segs, length, 1, c, s)
+        cur = segs.reshape(b, n)
+        m = do & (stride_lanes == sv)
+        out = jnp.where(m[:, None], cur, out)
+    return out
+
+
+def _collapse_mask_arr(iy, n: int, b_lanes, b_vals, active):
+    """extract_collapse_mask (bands.c:167) on iy [B, n]."""
+    out = jnp.ones_like(b_lanes)
+    for bv in b_vals:
+        if bv <= 1:
+            cm = jnp.ones_like(b_lanes)
+        else:
+            n0 = n // bv
+            nz = jnp.any(iy.reshape(iy.shape[0], bv, n0) != 0, axis=2)
+            cm = jnp.sum(nz.astype(i32) << jnp.arange(bv)[None, :],
+                         axis=1)
+        out = _sel(active & (b_lanes == bv), cm, out)
+    return out
+
+
+def _renormalise_arr(x, gain, active):
+    e = jnp.sum(x * x, axis=1) + f32(EPS)
+    g = gain * jax.lax.rsqrt(e)
+    return jnp.where(active[:, None], x * g[:, None], x)
+
+
 # ===================================================================== #
 # static mode tables                                                    #
 # ===================================================================== #
@@ -702,9 +913,9 @@ def _cwrsi(n: int, k, idx, kcap: int):
         (k, i), ys = jax.lax.scan(
             step, (k, i), (jnp.asarray(cols), jnp.asarray(qs),
                            jnp.asarray(njs)))
-        y = [ys[j] for j in range(n - 2)]
+        head = ys.T                                      # [B, n-2]
     else:
-        y = []
+        head = None
     # n == 2
     p = (2 * k + 1).astype(u32)
     s = i >= p
@@ -713,20 +924,20 @@ def _cwrsi(n: int, k, idx, kcap: int):
     k2 = ((i + 1) >> 1).astype(i32)
     i = i - _sel(k2 > 0, (2 * k2 - 1).astype(u32), u32(0))
     val = k0 - k2
-    y.append(_sel(s, -val, val))
-    # n == 1
-    y.append(_sel(i != 0, -k2, k2))
-    return y
+    tail = jnp.stack([_sel(s, -val, val),
+                      _sel(i != 0, -k2, k2)], axis=-1)   # [B, 2]
+    if head is None:
+        return tail
+    return jnp.concatenate([head, tail], axis=-1)
 
 
 def _decode_pulses(d, buf, lens, n: int, k, kcap: int, active):
-    """decode_pulses (cwrs.c): dec_uint(V(n,k)) + cwrsi."""
+    """decode_pulses (cwrs.c): dec_uint(V(n,k)) + cwrsi -> iy [B, n]."""
     vrow = jnp.asarray(np.asarray(_v_row(n, kcap), np.uint64)
                        .astype(np.uint32))
     ft = jnp.take(vrow, jnp.clip(k, 0, kcap))
     idx, d = K.rk_dec_uint(d, buf, lens, ft.astype(i32), active)
-    y = _cwrsi(n, jnp.maximum(k, 1), idx.astype(u32), kcap)
-    return y, d
+    return _cwrsi(n, jnp.maximum(k, 1), idx.astype(u32), kcap), d
 
 
 # ===================================================================== #
@@ -884,9 +1095,9 @@ def _quant_partition(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
                      fill, active):
     """quant_partition decode (bands.c:973) over the static split tree.
 
-    lb: list of n [sh] f32 regs (folding source; meaningful where
-    lb_has) — or None when no lane can ever fold here.
-    Returns (cm, x list[n], d, ctx)."""
+    lb: [B, n] f32 folding source (meaningful where lb_has) — or None
+    when no lane can ever fold here.
+    Returns (cm, x [B, n], d, ctx)."""
     row = tabs.cache_rows[(lm_node, band)]
     can_split = lm_node != -1 and n > 2
     if can_split:
@@ -914,10 +1125,11 @@ def _quant_partition(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
         mbits = jnp.maximum(0, jnp.minimum(b_s, (b_s - delta) // 2))
         sbits = b_s - mbits
         swap = split & (mbits < sbits)
+        sw = swap[:, None]
 
         if lb is not None:
-            lb_lo, lb_hi = lb[:n2], lb[n2:]
-            lb_v0 = [_sel(swap, h, l) for l, h in zip(lb_lo, lb_hi)]
+            lb_lo, lb_hi = lb[:, :n2], lb[:, n2:]
+            lb_v0 = jnp.where(sw, lb_hi, lb_lo)
         else:
             lb_v0 = None
         rb_before = ctx["rb"]
@@ -937,18 +1149,18 @@ def _quant_partition(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
         g_v1 = gain * _sel(swap, mid, side)
         f_v1 = _sel(swap, fill_s, fill_s >> bb2)
         if lb is not None:
-            lb_v1 = [_sel(swap, l, h) for l, h in zip(lb_lo, lb_hi)]
+            lb_v1 = jnp.where(sw, lb_lo, lb_hi)
         else:
             lb_v1 = None
         cm1, x1, d, ctx = _quant_partition(
             d, buf, lens, ctx, tabs, band, n2, lm2, b_v1, bb2, bb2_vals,
             lb_v1, lb_has, g_v1, f_v1, split)
-        x_lo = [_sel(swap, b_, a_) for a_, b_ in zip(x0, x1)]
-        x_hi = [_sel(swap, a_, b_) for a_, b_ in zip(x0, x1)]
+        x_lo = jnp.where(sw, x1, x0)
+        x_hi = jnp.where(sw, x0, x1)
         cm_x = _sel(swap, cm1, cm0)
         cm_y = _sel(swap, cm0, cm1)
         cm_split = cm_x | (cm_y << (b0 >> 1).astype(u32))
-        x_split = x_lo + x_hi
+        x_split = jnp.concatenate([x_lo, x_hi], axis=1)
         leaf_active = active & ~split
     else:
         split = jnp.zeros(active.shape, bool)
@@ -981,45 +1193,43 @@ def _quant_partition(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
     pvq = leaf_active & (kq != 0)
     if n >= 2:
         iy, d = _decode_pulses(d, buf, lens, n, kq, kcap, pvq)
-        ryy = _tree_sum([(yj * yj).astype(f32) for yj in iy])
+        ryy = jnp.sum((iy * iy).astype(f32), axis=1)
         g = gain * jax.lax.rsqrt(jnp.maximum(ryy, f32(1e-30)))
-        x_pvq = [yj.astype(f32) * g for yj in iy]
-        x_pvq = _exp_rotation_dec(x_pvq, n, bb, bb_vals, kq,
-                                  ctx["spread"], pvq)
-        cm_pvq = _collapse_mask(iy, n, bb, bb_vals, pvq)
+        x_pvq = iy.astype(f32) * g[:, None]
+        x_pvq = _exp_rotation_arr(x_pvq, n, bb, bb_vals, kq,
+                                  ctx["spread"], pvq, encode=False)
+        cm_pvq = _collapse_mask_arr(iy, n, bb, bb_vals, pvq)
     else:
         raise AssertionError("n==1 leaves are handled by quant_band_n1")
 
-    # q == 0: noise / fold
+    # q == 0: noise / fold (closed-form LCG chains)
     nf = leaf_active & (kq == 0)
     cm_mask = ((u32(1) << bb.astype(u32)) - 1).astype(i32)
     fillm = fill & cm_mask
-    zero = nf & (fillm == 0)
     act_nf = nf & (fillm != 0)
-    fold = act_nf & lb_has if lb is not None else jnp.zeros_like(zero)
+    fold = act_nf & lb_has if lb is not None else         jnp.zeros(active.shape, bool)
     noise = act_nf & ~fold
     seed = ctx["seed"]
-    x_nf = []
-    for j in range(n):
-        seed = _sel(act_nf, _lcg(seed), seed)
-        nval = (seed.astype(i32) >> 20).astype(f32)
-        if lb is not None:
-            fval = lb[j] + _sel((seed & u32(0x8000)) != 0,
-                                f32(1.0 / 256), f32(-1.0 / 256))
-        else:
-            fval = jnp.zeros_like(nval)
-        x_nf.append(_sel(fold, fval, nval))
-    ctx["seed"] = seed
-    x_nf = _renormalise(x_nf, n, gain, act_nf)
+    a_p, c_s = _lcg_tabs(n)
+    seeds = jnp.asarray(a_p[1:n + 1])[None, :] * seed[:, None]         + jnp.asarray(c_s[1:n + 1])[None, :]              # [B, n] u32
+    nval = (seeds.astype(i32) >> 20).astype(f32)
+    if lb is not None:
+        fval = lb + _sel((seeds & u32(0x8000)) != 0,
+                         f32(1.0 / 256), f32(-1.0 / 256))
+        x_nf = jnp.where(fold[:, None], fval, nval)
+    else:
+        x_nf = nval
+    ctx["seed"] = _sel(act_nf, u32(a_p[n]) * seed + u32(c_s[n]), seed)
+    x_nf = _renormalise_arr(x_nf, gain, act_nf)
     cm_nf = _sel(fold, fillm, _sel(noise, cm_mask, 0))
 
-    x_leaf = [_sel(pvq, xp, _sel(act_nf, xn, f32(0.0)))
-              for xp, xn in zip(x_pvq, x_nf)]
+    x_leaf = jnp.where(pvq[:, None], x_pvq,
+                       jnp.where(act_nf[:, None], x_nf, f32(0.0)))
     cm_leaf = _sel(pvq, cm_pvq, cm_nf)
 
     if x_split is None:
         return cm_leaf, x_leaf, d, ctx
-    x_out = [_sel(split, xs, xl) for xs, xl in zip(x_split, x_leaf)]
+    x_out = jnp.where(split[:, None], x_split, x_leaf)
     cm_out = _sel(split, cm_split, cm_leaf)
     return cm_out, x_out, d, ctx
 
@@ -1084,7 +1294,7 @@ def _quant_band_n1(d, buf, lens, ctx, active):
     ctx = dict(ctx)
     ctx["rb"] = ctx["rb"] - _sel(can, 1 << BITRES, 0)
     x0 = _sel(sign != 0, f32(-NORM), f32(NORM))
-    return jnp.ones_like(sign), [x0], d, ctx
+    return jnp.ones_like(sign), x0[:, None], d, ctx
 
 
 def _band_variants(tabs: DecTabs, n: int):
@@ -1116,8 +1326,8 @@ def _band_variants(tabs: DecTabs, n: int):
 
 def _quant_band_mono(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
                      b, transient, tf_change, lb, lb_has, fill, active):
-    """quant_band, mono decode (bands.c:1245).  Returns
-    (cm, x list[n], d, ctx)."""
+    """quant_band, mono decode (bands.c:1245).  lb: [B, n] or None.
+    Returns (cm, x [B, n], d, ctx)."""
     if n == 1:
         return _quant_band_n1(d, buf, lens, ctx, active)
     variants = _band_variants(tabs, n)
@@ -1125,35 +1335,32 @@ def _quant_band_mono(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
              for v in variants]
 
     # ---- input-side transforms (lowband + fill) ----
-    if lb is not None:
-        lb_f = list(lb)
-    else:
-        lb_f = None
+    lb_f = lb
     fill_f = fill
     bb_lanes = jnp.zeros_like(fill)
     bb_vals = set()
     for v, m in zip(variants, masks):
-        lbv = list(lb) if lb is not None else None
+        lbv = lb
         fillv = fill
         for kk in range(v["recombine"]):
             if lbv is not None:
-                lbv = _haar1(lbv, n >> kk, 1 << kk)
+                lbv = _haar1_arr(lbv, n >> kk, 1 << kk)
             fillv = _fill_interleave(fillv)
         # time divide
         bb = v["B0"] >> v["recombine"]
         n_b = (n // v["B0"]) << v["recombine"]
         for _ in range(v["tdiv"]):
             if lbv is not None:
-                lbv = _haar1(lbv, n_b, bb)
+                lbv = _haar1_arr(lbv, n_b, bb)
             fillv = fillv | (fillv << bb)
             bb <<= 1
             n_b >>= 1
         if v["b0_final"] > 1 and lbv is not None:
-            lbv = _deinterleave_hadamard(
+            lbv = _deinterleave_hadamard_arr(
                 lbv, v["n_b0"] >> v["recombine"],
                 v["b0_final"] << v["recombine"], v["long"])
         if lbv is not None:
-            lb_f = [_sel(m, a, o) for a, o in zip(lbv, lb_f)]
+            lb_f = jnp.where(m[:, None], lbv, lb_f)
         fill_f = _sel(m, fillv, fill_f)
         bb_lanes = _sel(m, v["b0_final"], bb_lanes)
         bb_vals.add(v["b0_final"])
@@ -1164,28 +1371,29 @@ def _quant_band_mono(d, buf, lens, ctx, tabs: DecTabs, band: int, n: int,
         fill_f, active)
 
     # ---- resynth-side transforms (x + cm) ----
-    x_out = list(x)
+    x_out = x
     cm_out = cm
     for v, m in zip(variants, masks):
-        xv = list(x)
+        xv = x
         cmv = cm
         bb = v["b0_final"]
         n_b = v["n_b0"]
         if bb > 1:
-            xv = _interleave_hadamard(xv, n_b >> v["recombine"],
-                                      bb << v["recombine"], v["long"])
+            xv = _interleave_hadamard_arr(xv, n_b >> v["recombine"],
+                                          bb << v["recombine"],
+                                          v["long"])
         for _ in range(v["tdiv"]):
             bb >>= 1
             n_b <<= 1
             cmv = cmv | (cmv >> bb)
-            xv = _haar1(xv, n_b, bb)
+            xv = _haar1_arr(xv, n_b, bb)
         for kk in range(v["recombine"]):
             cmv = _lit_lookup(BIT_DEINTERLEAVE_TABLE,
                               jnp.clip(cmv, 0, 15))
-            xv = _haar1(xv, n >> kk, 1 << kk)
+            xv = _haar1_arr(xv, n >> kk, 1 << kk)
         bb <<= v["recombine"]
         cmv = cmv & ((1 << bb) - 1)
-        x_out = [_sel(m, a, o) for a, o in zip(xv, x_out)]
+        x_out = jnp.where(m[:, None], xv, x_out)
         cm_out = _sel(m, cmv, cm_out)
     return cm_out, x_out, d, ctx
 
@@ -1203,8 +1411,8 @@ def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
     M = tabs.M
     eB = [int(v) for v in tabs.eBands]
     norm_total = M * eB[nb - 1]
-    norm = [jnp.zeros_like(jnp.asarray(balance, f32))
-            for _ in range(norm_total)]
+    bsz = balance.shape[0]
+    norm = jnp.zeros((bsz, norm_total), f32)
     collapse = [jnp.zeros_like(balance) for _ in range(nb)]
     X = []
     transient = plan["is_transient"]
@@ -1245,7 +1453,7 @@ def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
         lo_vals = [j for j in range(1, i + 1)
                    if (M * eB[j] - M * (eB[j + 1] - eB[j]) >= 0
                        and j != 0) or j == 1]
-        lb = [jnp.zeros_like(norm[0]) for _ in range(n)]
+        lb = jnp.zeros((bsz, n), f32)
         x_cm = _sel(fold_cond, 0,
                     ((u32(1) << B_lanes.astype(u32)) - 1).astype(i32))
         for lo in lo_vals:
@@ -1269,35 +1477,35 @@ def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
                 fi += 1
                 if fi >= fe_:
                     break
-
-            def take(lo=lo, eff=eff, mv=mv, cmv=cmv, lb=lb, x_cm=x_cm):
-                nlb = [_sel(mv, norm[min(eff + j, norm_total - 1)], o)
-                       for j, o in enumerate(lb)]
-                return nlb + [_sel(mv, cmv, x_cm)]
-
-            def skip(lb=lb, x_cm=x_cm):
-                return list(lb) + [x_cm]
-
-            res = jax.lax.cond(jnp.any(mv), take, skip)
-            lb, x_cm = res[:-1], res[-1]
+            # norm window [eff, eff+n) (zero-padded past norm_total)
+            if eff + n <= norm_total:
+                win = norm[:, eff:eff + n]
+            else:
+                win = jnp.concatenate(
+                    [norm[:, eff:],
+                     jnp.zeros((bsz, eff + n - norm_total), f32)],
+                    axis=1)
+            lb = jnp.where(mv[:, None], win, lb)
+            x_cm = _sel(mv, cmv, x_cm)
         lb_has = fold_cond
 
         cm_out, x_band, d, ctx = _quant_band_mono(
             d, buf, lens, ctx, tabs, i, n, b, transient, tf_change,
             lb, lb_has, x_cm, active)
         collapse[i] = _sel(active, cm_out & 0xFF, 0)
-        X.extend(x_band)
+        X.append(x_band)
         # lowband_out (skip for the last band)
         if i != nb - 1:
             nrm = f32(math.sqrt(n))
             base = M * eB[i]
-            for j in range(n):
-                norm[base + j] = _sel(active, nrm * x_band[j],
-                                      norm[base + j])
+            upd_w = jnp.where(active[:, None], nrm * x_band,
+                              norm[:, base:base + n])
+            norm = jnp.concatenate(
+                [norm[:, :base], upd_w, norm[:, base + n:]], axis=1)
         balance = balance + pulses[i] + tell
         update_lowband = b > (n << BITRES)
 
-    return X, collapse, ctx["seed"], d
+    return jnp.concatenate(X, axis=1), collapse, ctx["seed"], d
 
 
 # ===================================================================== #
@@ -1311,14 +1519,15 @@ def _anti_collapse(tabs: DecTabs, X, collapse, plan, prev1, prev2, seed,
     max-combined by the caller per the c==1 decode rule)."""
     nb = tabs.nb
     lm = tabs.lm
+    kk = 1 << lm
     eB = [int(v) for v in tabs.eBands]
-    X = list(X)
+    bsz = seed.shape[0]
+    segs = []
     for i in range(nb):
         n0 = eB[i + 1] - eB[i]
-        depth = ((1 + plan["pulses"][i] // (1 << BITRES)) // n0) >> lm \
-            if False else ((1 + plan["pulses"][i]) // n0) >> lm
-        # NOTE: reference uses (1+pulses[i])/n0 >> LM with pulses in
-        # 8th bits as stored by interp_bits2pulses
+        depth = ((1 + plan["pulses"][i]) // n0) >> lm
+        # reference uses (1+pulses[i])/n0 >> LM with pulses in 8th bits
+        # as stored by interp_bits2pulses
         thresh = f32(0.5) * jnp.exp2(f32(-0.125) * depth.astype(f32))
         sqrt_1 = f32(1.0 / math.sqrt(n0 << lm))
         ediff = plan["energies"][i] - jnp.minimum(prev1[i], prev2[i])
@@ -1329,20 +1538,31 @@ def _anti_collapse(tabs: DecTabs, X, collapse, plan, prev1, prev2, seed,
         r = jnp.minimum(thresh, r)
         r = r * sqrt_1
         base = (eB[i] << lm)
-        renorm = jnp.zeros(active.shape, bool)
-        for k in range(1 << lm):
-            miss = active & ((collapse[i] & (1 << k)) == 0)
-            for j in range(n0):
-                seed = _sel(miss, _lcg(seed), seed)
-                v = _sel((seed & u32(0x8000)) != 0, r, -r)
-                X[base + (j << lm) + k] = _sel(
-                    miss, v, X[base + (j << lm) + k])
-            renorm = renorm | miss
         nband = n0 << lm
-        seg = _renormalise(X[base:base + nband], nband,
-                           jnp.ones_like(r), renorm)
-        X[base:base + nband] = seg
-    return X, seed
+        # closed-form LCG: each missing block k advances the seed by n0
+        # steps, sequentially over k
+        miss = active[:, None] \
+            & (((collapse[i][:, None] >> jnp.arange(kk)[None, :]) & 1)
+               == 0)                                       # [B, K]
+        pre = jnp.cumsum(miss.astype(i32), axis=1) \
+            - miss.astype(i32)                             # exclusive
+        a_p, c_s = _lcg_tabs(n0 * kk)
+        idx = (pre * n0)[:, :, None] + jnp.arange(n0)[None, None, :] + 1
+        seeds = jnp.take(jnp.asarray(a_p), idx) * seed[:, None, None] \
+            + jnp.take(jnp.asarray(c_s), idx)              # [B, K, n0]
+        v = _sel((seeds & u32(0x8000)) != 0, r[:, None, None],
+                 -r[:, None, None])
+        seg = X[:, base:base + nband].reshape(bsz, n0, kk)
+        seg = jnp.where(miss[:, None, :], v.transpose(0, 2, 1), seg)
+        seg = seg.reshape(bsz, nband)
+        total = pre[:, -1] + miss[:, -1].astype(i32)
+        sidx = jnp.clip(total * n0, 0, n0 * kk)
+        seed = jnp.take(jnp.asarray(a_p), sidx) * seed \
+            + jnp.take(jnp.asarray(c_s), sidx)
+        renorm = jnp.any(miss, axis=1)
+        seg = _renormalise_arr(seg, jnp.ones_like(r), renorm)
+        segs.append(seg)
+    return jnp.concatenate(segs, axis=1), seed
 
 
 def fused_celt_decode_frame(buf, lens, old_e, prev1, prev2, seed, rng_in,
@@ -1383,7 +1603,7 @@ def fused_celt_decode_frame(buf, lens, old_e, prev1, prev2, seed, rng_in,
     do_ac = live & (ac_on != 0)
     Xa, seed = _anti_collapse(tabs, X, collapse, plan, prev1, prev2,
                               seed, do_ac)
-    X = [_sel(do_ac, a, x) for a, x in zip(Xa, X)]
+    X = jnp.where(do_ac[:, None], Xa, X)
     out = dict(plan, X=X, collapse=collapse, energies=energies,
                anti_collapse_on=ac_on)
     return out, dict(d=d, seed=seed)
@@ -1415,7 +1635,7 @@ def fused_celt_decode_to_pcm(buf, lens, state, tabs: DecTabs):
 
     # X covers the coded range M*eBands[nb]; pad the uncoded tail
     n_full = tabs.mode.shortMdctSize << tabs.lm
-    x = jnp.stack(out["X"], axis=-1)
+    x = out["X"]
     x = jnp.pad(x, ((0, 0), (0, n_full - x.shape[1])))[:, None, :]
     energies = jnp.stack(out["energies"], axis=-1)[:, None, :]
 

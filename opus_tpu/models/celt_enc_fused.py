@@ -50,7 +50,8 @@ from .celt_dec_fused import (
     _bitexact_log2tan, _compute_qn_vec, _sudiv, _haar1,
     _deinterleave_hadamard, _fill_interleave, _band_variants,
     BIT_INTERLEAVE_TABLE, EXP2_TABLE8, TRIM_ICDF, SPREAD_ICDF,
-    TF_SELECT_TABLE, SMALL_ENERGY_ICDF, QTHETA_OFFSET, ORDERY_TABLE)
+    TF_SELECT_TABLE, SMALL_ENERGY_ICDF, QTHETA_OFFSET, ORDERY_TABLE,
+    _haar1_arr, _deinterleave_hadamard_arr, _exp_rotation_arr)
 
 BITRES = 3
 MAX_FINE_BITS = 8
@@ -998,104 +999,6 @@ def _v_table(n: int, kcap: int) -> np.ndarray:
                            np.uint32)
 
 
-def _haar1_arr(x, n0: int, stride: int):
-    """haar1 (bands.c:623) on [B, n]: first n0*stride columns viewed as
-    [n0, stride], butterflies on row pairs (2j, 2j+1)."""
-    b, n = x.shape
-    reg = n0 * stride
-    head = x[:, :reg].reshape(b, n0 // 2, 2, stride)
-    t = f32(math.sqrt(0.5)) * head
-    y = jnp.stack([t[:, :, 0, :] + t[:, :, 1, :],
-                   t[:, :, 0, :] - t[:, :, 1, :]], axis=2)
-    head = y.reshape(b, reg)
-    if reg == n:
-        return head
-    return jnp.concatenate([head, x[:, reg:]], axis=1)
-
-
-@lru_cache(maxsize=None)
-def _hadamard_perm(stride: int, hadamard: bool) -> np.ndarray:
-    perm = np.arange(stride)
-    if hadamard:
-        ordery = ORDERY_TABLE[stride]
-        for i in range(stride):
-            perm[ordery[i]] = i
-    return perm
-
-
-def _deinterleave_hadamard_arr(x, n0: int, stride: int, hadamard: bool):
-    """deinterleave_hadamard (bands.c) on [B, n]."""
-    b, n = x.shape
-    assert n == n0 * stride
-    m = x.reshape(b, n0, stride).transpose(0, 2, 1)   # [B, i, j]
-    m = m[:, _hadamard_perm(stride, hadamard), :]
-    return m.reshape(b, n)
-
-
-def _rot_pass(x, length: int, stride: int, c, s):
-    """_exp_rotation1 (vq.c:83) over [B, S, length] segments, looped
-    with O(1) graph size.  c/s: [B] lanes."""
-    cb = c[:, None]
-    sb = s[:, None]
-    msb = -sb
-
-    def fwd(i, x):
-        x1 = jax.lax.dynamic_slice_in_dim(x, i, 1, 2)[:, :, 0]
-        x2 = jax.lax.dynamic_slice_in_dim(x, i + stride, 1, 2)[:, :, 0]
-        x = jax.lax.dynamic_update_slice_in_dim(
-            x, (cb * x2 + sb * x1)[:, :, None], i + stride, 2)
-        x = jax.lax.dynamic_update_slice_in_dim(
-            x, (cb * x1 + msb * x2)[:, :, None], i, 2)
-        return x
-
-    x = jax.lax.fori_loop(0, max(length - stride, 0), fwd, x)
-
-    def bwd(t, x):
-        i = length - 2 * stride - 1 - t
-        x1 = jax.lax.dynamic_slice_in_dim(x, i, 1, 2)[:, :, 0]
-        x2 = jax.lax.dynamic_slice_in_dim(x, i + stride, 1, 2)[:, :, 0]
-        x = jax.lax.dynamic_update_slice_in_dim(
-            x, (cb * x2 + sb * x1)[:, :, None], i + stride, 2)
-        x = jax.lax.dynamic_update_slice_in_dim(
-            x, (cb * x1 + msb * x2)[:, :, None], i, 2)
-        return x
-
-    x = jax.lax.fori_loop(0, max(length - 2 * stride, 0), bwd, x)
-    return x
-
-
-def _exp_rotation_enc(x, n: int, stride_lanes, stride_vals, k, spread,
-                      active):
-    """exp_rotation direction=+1 (encode side of vq.c:104); x [B, n]."""
-    factor = _sel(spread == 1, f32(15.0),
-                  _sel(spread == 2, f32(10.0), f32(5.0)))
-    kf = k.astype(f32)
-    gain = f32(1.0) * n / (n + factor * kf)
-    theta = f32(0.5) * gain * gain
-    c = jnp.cos(f32(0.5 * math.pi) * theta)
-    s = jnp.cos(f32(0.5 * math.pi) * (f32(1.0) - theta))
-    do = active & (spread != SPREAD_NONE) & (2 * k < n)
-    out = x
-    b = x.shape[0]
-    for sv in stride_vals:
-        if n < sv:
-            continue
-        stride2 = 0
-        if n >= 8 * sv:
-            stride2 = 1
-            while (stride2 * stride2 + stride2) * sv + (sv >> 2) < n:
-                stride2 += 1
-        length = n // sv
-        segs = x.reshape(b, sv, length)
-        segs = _rot_pass(segs, length, 1, c, -s)
-        if stride2:
-            segs = _rot_pass(segs, length, stride2, s, -c)
-        cur = segs.reshape(b, n)
-        m = do & (stride_lanes == sv)
-        out = jnp.where(m[:, None], cur, out)
-    return out
-
-
 def _pvq_search(X, n: int, k, kcap: int, active):
     """op_pvq_search (vq.c:205): [B, n] greedy argmax pulse search.
     Returns iy [B, n] i32 (signed)."""
@@ -1146,28 +1049,30 @@ def _pvq_search(X, n: int, k, kcap: int, active):
 
 
 def _encode_pulses(e, iy, n: int, k, kcap: int, active):
-    """encode_pulses (cwrs.c:462): icwrs index + enc_uint(V(n, k))."""
-    ut = _u_table(n, kcap)                   # [n-1, kcap+3]
-    vt = jnp.asarray(_v_table(n, kcap))
-    lastc = iy[:, n - 1]
-    idx = (lastc < 0).astype(u32)
-    kk = jnp.abs(lastc)
-    if n >= 2:
-        # scan j = n-2 .. 0; row = n - j -> table row index (n-j)-2
-        ys = iy[:, :n - 1][:, ::-1].T        # [n-1, B]: ys[t] = iy[:, n-2-t]
-        rows = jnp.asarray(ut.astype(np.int64).astype(np.uint32))
-        # rows[t] must be U(n - j) = U(t + 2) -> ut[t]
-        def body(carry, inp):
-            i_, k_ = carry
-            ycol, urow = inp
-            i_ = i_ + jnp.take(urow, jnp.clip(k_, 0, kcap + 2))
-            k_ = k_ + jnp.abs(ycol)
-            i_ = i_ + _sel(ycol < 0,
-                           jnp.take(urow, jnp.clip(k_ + 1, 0, kcap + 2)),
-                           u32(0))
-            return (i_, k_), jnp.zeros((), i32)
+    """encode_pulses (cwrs.c:462): icwrs index + enc_uint(V(n, k)).
 
-        (idx, kk), _ = jax.lax.scan(body, (idx, kk), (ys, rows))
+    The scalar accumulation  i += U(n-j, S_j) (+ U(n-j, T_j+1) on
+    negative pulses)  uses only exclusive/inclusive suffix magnitude
+    sums S_j/T_j, so the whole index is two flat gathers over the U
+    table — no scan."""
+    ut = _u_table(n, kcap)                   # [n-1, kcap+3] rows n-j-2
+    vt = jnp.asarray(_v_table(n, kcap))
+    ay = jnp.abs(iy)
+    # S_j = sum_{t>j} |y_t| (exclusive suffix), T_j = S_j + |y_j|
+    t_incl = jnp.cumsum(ay[:, ::-1], axis=1)[:, ::-1]    # [B, n]
+    s_excl = t_incl - ay
+    idx = (iy[:, n - 1] < 0).astype(u32)
+    kcols = kcap + 3
+    flat = jnp.asarray(ut.reshape(-1))
+    # rows for j = 0..n-2: table row (n-j)-2 = n-2-j
+    rowoff = (jnp.arange(n - 1)[::-1] * kcols)[None, :]  # [1, n-1]
+    g1 = jnp.take(flat, rowoff + jnp.clip(s_excl[:, :n - 1], 0,
+                                          kcols - 1))
+    g2 = jnp.take(flat, rowoff + jnp.clip(t_incl[:, :n - 1] + 1, 0,
+                                          kcols - 1))
+    neg = (iy[:, :n - 1] < 0)
+    idx = idx + jnp.sum(g1, axis=1) \
+        + jnp.sum(jnp.where(neg, g2, u32(0)), axis=1)
     ft = jnp.take(vt, jnp.clip(k, 0, kcap + 1))
     e = V.re_enc_uint(e, idx.astype(i32), ft.astype(i32), active)
     return e
@@ -1308,8 +1213,8 @@ def _quant_partition_enc(e, ctx, tabs: EncTabs, band: int, n: int,
     kcap = min(int(get_pulses(L)), 128)
     pvq = leaf_active & (kq != 0)
     if n >= 2:
-        xs_rot = _exp_rotation_enc(xs, n, bb, bb_vals, kq,
-                                   ctx["spread"], pvq)
+        xs_rot = _exp_rotation_arr(xs, n, bb, bb_vals, kq,
+                                   ctx["spread"], pvq, encode=True)
         iy = _pvq_search(xs_rot, n, kq, kcap, pvq)
         e = _encode_pulses(e, iy, n, kq, kcap, pvq)
     else:
@@ -1421,7 +1326,8 @@ def fused_celt_encode_frame(pcm, state, tabs: EncTabs, nbytes: int,
 
     # ---- silence + clip detection (celt_encoder.c:1936-1966) ----
     ov_n = (n - tabs.mode.overlap)
-    head_max = jnp.max(jnp.abs(pcm[:, :ov_n]), axis=1)
+    head_max = jnp.max(jnp.abs(pcm[:, :ov_n]), axis=1) if ov_n > 0 \
+        else jnp.zeros(pcm.shape[:1], f32)
     tail_max = jnp.max(jnp.abs(pcm[:, ov_n:]), axis=1)
     sample_max = jnp.maximum(state["overlap_max"],
                              jnp.maximum(head_max, tail_max))

@@ -70,15 +70,11 @@ def pack_words(buf_bytes: np.ndarray, nbytes_cap: int) -> np.ndarray:
 
 def read_word(buf, widx):
     """buf: [W, *shape] i32 word pages; widx: [*shape] i32 word index.
-    Flat mask-reduce over pages (kernel-safe; each page visit is one
-    vector select)."""
-    w = buf.shape[0]
-
-    def body(i, acc):
-        page = jax.lax.dynamic_index_in_dim(buf, i, 0, keepdims=False)
-        return _sel(widx == i, page, acc)
-
-    return jax.lax.fori_loop(0, w, body, jnp.zeros_like(widx))
+    One per-lane gather (XLA path; a Pallas port would use the
+    mask-reduce over pages instead — each byte is read once, so either
+    is cheap at runtime)."""
+    idx = jnp.clip(widx, 0, buf.shape[0] - 1)
+    return jnp.take_along_axis(buf, idx[None, ...], axis=0)[0]
 
 
 def read_byte_at(buf, pos):
@@ -104,8 +100,8 @@ def _read_byte_from_end(buf, storage, end_offs):
 def _normalize(d: dict, buf, storage) -> dict:
     # rng grows >= 8 bits per iteration and a symbol consumes < 24 bits,
     # so 3 masked iterations always suffice (entdec.c ec_dec_normalize);
-    # run them as a fori_loop so the body is compiled once (the fused
-    # decoder graph contains thousands of normalize calls)
+    # unrolled inline: a fori_loop would cost MORE graph here (per-call
+    # closure functions + carry plumbing exceed the ~17-op body)
     d = dict(d)
 
     def body(_t, carry):

@@ -134,7 +134,7 @@ def test_fused_celt_decode_symbol_exact(frame_size):
     out, state = fn(buf, lens, old_e, prev1, prev2, seed)
 
     err = np.asarray(state["d"]["error"])
-    X = np.stack([np.asarray(x) for x in out["X"]], axis=1)   # [B, N]
+    X = np.asarray(out["X"])   # [B, N]
     energies = np.stack([np.asarray(e) for e in out["energies"]], axis=1)
     collapse = np.stack([np.asarray(c) for c in out["collapse"]], axis=1)
     final_rng = np.asarray(state["d"]["rng"])

@@ -51,7 +51,7 @@ def test_fused_celt_decode_numpy_twin(frame_size, nframes):
     finally:
         np_shim.uninstall(saved)
 
-    X = np.stack([np.asarray(x) for x in out["X"]], axis=1)
+    X = np.asarray(out["X"])
     energies = np.stack([np.asarray(e) for e in out["energies"]], axis=1)
     collapse = np.stack([np.asarray(c) for c in out["collapse"]], axis=1)
     err = np.asarray(state["d"]["error"])
