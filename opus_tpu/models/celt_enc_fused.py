@@ -1529,7 +1529,7 @@ def fused_celt_encode_frame(pcm, state, tabs: EncTabs, nbytes: int,
         last_coded_bands=new_lcb, tonal_average=new_sp["tonal_average"],
         hf_average=new_sp["hf_average"],
         tapset_decision=new_sp["tapset_decision"],
-        spread_decision=new_sp["spread_decision"])
+        spread_decision=new_sp["spread_decision"].astype(i32))
     dbg = dict(is_transient=is_transient, tf_res=tf_vals,
                tf_select=tf_select, spread=spread, trim=trim,
                coded_bands=coded_bands, pulses=pulses, ebits=ebits,

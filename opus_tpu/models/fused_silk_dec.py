@@ -10,11 +10,12 @@ int32-exact batched decode_core (opus_tpu/models/batched_silk.py).
 Together: SILK payloads resident in HBM decode to bit-exact PCM with
 zero host round trips — the SURVEY.md §7 end state for the SILK path.
 
-Scope: mono, one 20 ms frame per packet (nb_subfr=4), normal decode.
-Rare bitstream features outside that envelope set the per-stream `error`
-lane (LBRR in-packet redundancy, excitation LSB extension, pulse counts
-needing >3 escape symbols); callers re-decode flagged streams on the
-scalar path.  The scalar decoder (opus_tpu/silk/decoder.py) is the
+Scope: mono, one 20 ms frame per packet (nb_subfr=4), normal decode;
+in-band FEC (LBRR) payloads are parsed through natively (the FEC frame
+advances the range decoder and is discarded, dec_API.c:258-283).  Rare
+bitstream features outside that envelope set the per-stream `error`
+lane (pulse counts needing >3 escape symbols); callers re-decode
+flagged streams on the scalar path.  The scalar decoder (opus_tpu/silk/decoder.py) is the
 bit-exact oracle (tests/test_fused_silk_dec.py).
 
 Reference: silk/dec_API.c:135, decode_indices.c, decode_pulses.c,
@@ -471,6 +472,163 @@ def _shell_split(d, buf, lens, tabs, level_table, p, active):
     return c1, _sel(act, p - c1, 0), d
 
 
+def _parse_frame_symbols(d, buf, lens, tabs, active, error,
+                         nb_subfr: int, fs_khz: int):
+    """Advance the range decoder over one frame's indices + pulses
+    without keeping the values — the LBRR skip of dec_API.c:258-283
+    (silk_decode_indices with decode_LBRR=1, i.e. the VAD type table,
+    then silk_decode_pulses)."""
+    b = d.rng.shape[0]
+    sf = 5 * fs_khz
+    L = nb_subfr * sf
+    order = tabs.order
+
+    t_ix, d = V.rd_dec_icdf(d, buf, lens, tabs.type_vad, 8, active)
+    type_ix = t_ix + 2
+    signal_type = type_ix >> 1
+
+    gain_rows = jnp.asarray(tabs.gain_icdf)[signal_type]
+    _g, d = V.rd_dec_icdf(d, buf, lens, gain_rows, 8, active)
+    _g, d = V.rd_dec_icdf(d, buf, lens, tabs.uniform8, 8, active)
+    for _ in range(nb_subfr - 1):
+        _g, d = V.rd_dec_icdf(d, buf, lens, tabs.delta_gain, 8, active)
+
+    cb1_rows = jnp.asarray(tabs.cb1_icdf)[signal_type >> 1]
+    cb1, d = V.rd_dec_icdf(d, buf, lens, cb1_rows, 8, active)
+    selj = jnp.asarray(tabs.ec_sel.astype(np.int32))
+    half = order // 2
+    sel = selj[cb1[:, None] * half + jnp.arange(half)[None, :]]
+    ec_ix = jnp.zeros((b, order), i32)
+    for i in range(0, order, 2):
+        entry = sel[:, i // 2]
+        ec_ix = ec_ix.at[:, i].set(((entry >> 1) & 7)
+                                   * (2 * NLSF_QUANT_MAX_AMPLITUDE + 1))
+        ec_ix = ec_ix.at[:, i + 1].set(((entry >> 5) & 7)
+                                       * (2 * NLSF_QUANT_MAX_AMPLITUDE
+                                          + 1))
+    ecj = jnp.asarray(tabs.ec_icdf.astype(np.int32))
+    nlsf_ext_t = jnp.asarray(tabs.nlsf_ext.astype(np.int32))
+
+    def _nlsf_coef(dd, ecix_col):
+        table = ecj[ecix_col[:, None] + jnp.arange(9)[None, :]]
+        ix, dd = V.rd_dec_icdf(dd, buf, lens, table, 8, active)
+        lo_ext = active & (ix == 0)
+        hi_ext = active & (ix == 2 * NLSF_QUANT_MAX_AMPLITUDE)
+        _e, dd = V.rd_dec_icdf(dd, buf, lens, nlsf_ext_t, 8, lo_ext)
+        _e, dd = V.rd_dec_icdf(dd, buf, lens, nlsf_ext_t, 8, hi_ext)
+        return dd, jnp.zeros((), i32)
+
+    d, _ = jax.lax.scan(_nlsf_coef, d, ec_ix.T)
+
+    if nb_subfr == 4:
+        _iq, d = V.rd_dec_icdf(d, buf, lens, tabs.nlsf_interp, 8, active)
+
+    voiced = active & (signal_type == 2)
+    _v, d = V.rd_dec_icdf(d, buf, lens, tabs.pitch_lag, 8, voiced)
+    _v, d = V.rd_dec_icdf(d, buf, lens, tabs.lag_low, 8, voiced)
+    _v, d = V.rd_dec_icdf(d, buf, lens, tabs.contour, 8, voiced)
+    per_index, d = V.rd_dec_icdf(d, buf, lens, tabs.per_index, 8, voiced)
+    ltp_rows = jnp.asarray(tabs.ltp_gain)[per_index]
+    for _ in range(nb_subfr):
+        _v, d = V.rd_dec_icdf(d, buf, lens, ltp_rows, 8, voiced)
+    _v, d = V.rd_dec_icdf(d, buf, lens, tabs.ltp_scale_icdf, 8, voiced)
+    _sd, d = V.rd_dec_icdf(d, buf, lens, tabs.uniform4, 8, active)
+
+    # pulses (decode_pulses.c)
+    rl_rows = jnp.asarray(tabs.rate_levels)[signal_type >> 1]
+    rate_level, d = V.rd_dec_icdf(d, buf, lens, rl_rows, 8, active)
+    ppb = jnp.asarray(tabs.ppb_icdf)
+    nblocks = L // 16
+
+    def _sum_block(carry, _):
+        d, err = carry
+        sp, d = V.rd_dec_icdf(d, buf, lens, ppb[rate_level], 8, active)
+        esc = active & (sp == 17)
+        sp2, d = V.rd_dec_icdf(d, buf, lens, ppb[9], 8, esc)
+        esc2 = esc & (sp2 == 17)
+        sp3, d = V.rd_dec_icdf(d, buf, lens, ppb[9], 8, esc2)
+        err = err | (esc2 & (sp3 == 17))
+        sp = _sel(esc2, sp3, _sel(esc, sp2, sp))
+        return (d, err), (sp, esc.astype(i32) + esc2.astype(i32))
+
+    (d, error), (sum_pulses, nshifts) = jax.lax.scan(
+        _sum_block, (d, error), None, length=nblocks)
+
+    def _shell_block(carry, xs):
+        d = carry
+        sp = xs
+        p0 = [None] * 16
+
+        def leafpair(d, p1, base):
+            a, bb_, d = _shell_split(d, buf, lens, tabs, tabs.shell[0],
+                                     p1, active)
+            p0[base], p0[base + 1] = a, bb_
+            return d
+
+        def quad(d, p2, base):
+            a, bb_, d = _shell_split(d, buf, lens, tabs, tabs.shell[1],
+                                     p2, active)
+            d = leafpair(d, a, base)
+            d = leafpair(d, bb_, base + 2)
+            return d
+
+        def octet(d, p3, base):
+            a, bb_, d = _shell_split(d, buf, lens, tabs, tabs.shell[2],
+                                     p3, active)
+            d = quad(d, a, base)
+            d = quad(d, bb_, base + 4)
+            return d
+
+        p3a, p3b, d = _shell_split(d, buf, lens, tabs, tabs.shell[3],
+                                   sp, active)
+        d = octet(d, p3a, 0)
+        d = octet(d, p3b, 8)
+        return d, jnp.stack(p0, axis=1)
+
+    d, blocks = jax.lax.scan(_shell_block, d, sum_pulses)
+
+    lsb_tab = jnp.asarray(np.array([list(TD.LSB_ICDF)], np.int32))
+
+    def _lsb_block(carry, xs):
+        d = carry
+        nsh, blkp = xs
+        lsb_bt = jnp.broadcast_to(lsb_tab, (b, 2))
+
+        def samp(dd, col):
+            for r in range(2):
+                m = active & (nsh > r)
+                lsb, dd = V.rd_dec_icdf(dd, buf, lens, lsb_bt, 8, m)
+                col = _sel(m, (col << 1) + lsb, col)
+            return dd, col
+
+        d, cols = jax.lax.scan(samp, d, blkp.T)
+        return d, cols.T
+
+    d, blocks = jax.lax.scan(_lsb_block, d, (nshifts, blocks))
+
+    quant_offset_type = type_ix & 1
+    i0 = 7 * (quant_offset_type + (signal_type << 1))
+    signj = jnp.asarray(tabs.sign_icdf.astype(np.int32))
+
+    def _sign_block(carry, xs):
+        d = carry
+        p, nsh, blkp = xs
+        has = active & ((p > 0) | (nsh > 0))
+        icdf0 = signj[i0 + jnp.minimum(p, 6)]
+        table = jnp.stack([icdf0, jnp.zeros_like(icdf0)], axis=1)
+
+        def samp(dd, col):
+            m = has & (col > 0)
+            _sg, dd = V.rd_dec_icdf(dd, buf, lens, table, 8, m)
+            return dd, col
+
+        d, _cols = jax.lax.scan(samp, d, blkp.T)
+        return d, jnp.zeros((), i32)
+
+    d, _ = jax.lax.scan(_sign_block, d, (sum_pulses, nshifts, blocks))
+    return d, error
+
+
 @partial(jax.jit, static_argnames=("fs_khz", "nb_subfr"))
 def fused_silk_decode(buf, lens, state: FusedSilkState, *,
                       fs_khz: int = 16, nb_subfr: int = 4):
@@ -490,7 +648,13 @@ def fused_silk_decode(buf, lens, state: FusedSilkState, *,
     # --- header flags (dec_API.c:252) ---
     vad, d = V.rd_dec_bit_logp(d, buf, lens, 1, active)
     lbrr, d = V.rd_dec_bit_logp(d, buf, lens, 1, active)
-    error = error | (lbrr != 0)          # LBRR: scalar-path fallback
+    # LBRR present: parse-through the in-band FEC frame (indices +
+    # pulses with the VAD type table, dec_API.c:258-283) so the range
+    # decoder lands on the regular frame; the decoded values are
+    # discarded on the normal path
+    d, error = _parse_frame_symbols(d, buf, lens, tabs,
+                                    active & (lbrr != 0), error,
+                                    nb_subfr, fs_khz)
 
     # --- decode_indices (decode_indices.c), CODE_INDEPENDENTLY ---
     t_vad, d = V.rd_dec_icdf(d, buf, lens, tabs.type_vad, 8, active & (vad != 0))

@@ -78,17 +78,21 @@ def test_fused_silk_bit_exact(fs_khz):
                 f"fs={fs_khz}k frame {i} stream {s}"
 
 
-def test_fused_silk_flags_lbrr_for_fallback():
-    """Streams with in-band FEC (LBRR) must be flagged, not mis-decoded."""
+def test_fused_silk_lbrr_parse_through():
+    """Streams with in-band FEC (LBRR): the fused decoder parses the
+    LBRR frame to advance the range decoder (dec_API.c:258-283) and the
+    regular frame still decodes bit-exactly."""
     from opus_tpu.models.fused_silk_dec import FusedSilkDecoder
 
     payloads = _encode(16000, fec=True, seconds=1.0)
+    ref = _scalar_frames(payloads, 16000)
     fd = FusedSilkDecoder(1, fs_khz=16)
-    flagged = 0
-    for p in payloads:
-        _, err = fd.decode([p])
-        flagged += int(err[0])
-    assert flagged > 0, "expected at least one LBRR-flagged packet"
+    any_lbrr = any(len(p) > 0 and (p[0] & 0x40) for p in payloads)
+    for k, p in enumerate(payloads):
+        xq, err = fd.decode([p])
+        assert not err[0], f"packet {k}: unexpected error lane"
+        assert np.array_equal(xq[0], ref[k]), f"packet {k}: PCM mismatch"
+    assert any_lbrr, "expected at least one LBRR packet in the stream"
 
 
 def test_fused_silk_10ms_frames():
