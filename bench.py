@@ -193,6 +193,41 @@ def bench_fargan():
         return None
 
 
+def bench_dnn_recovery():
+    """Batched neural loss recovery (tracked config 5): DRED latents ->
+    RDOVAE decode + FARGAN cont + synthesis in one fused program.
+    Realtime-equivalent streams for a 60 ms concealment burst."""
+    try:
+        import jax.numpy as jnp
+        from opus_tpu.models.dnn_recovery import (BatchedDREDRecovery,
+                                                  ParsedBatch)
+        from opus_tpu.dnn import dred as dredmod, fargan as fg, rdovae
+        b, t, n_frames = 1024, 4, 6
+        rng = np.random.RandomState(1)
+        parsed = ParsedBatch(
+            state0=rng.randn(b, 24).astype(np.float32) * 0.3,
+            latents=rng.randn(t, b, 81).astype(np.float32) * 0.3,
+            nb_latents=np.full(b, t, np.int32),
+            dred_offset=np.zeros(b, np.int32),
+            has_dred=np.ones(b, bool))
+        pcm0 = np.clip(0.2 * rng.randn(b, 320), -1, 1)
+        loss_off = (2 + np.arange(b) % 3).astype(np.int32)
+        pipe = BatchedDREDRecovery(rdovae.random_dec_model(1),
+                                   dredmod.random_stats(2),
+                                   fg.random_model(3))
+        out = pipe.recover(parsed, pcm0, loss_off, n_frames)  # compile
+        np.asarray(out)
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipe.recover(parsed, pcm0, loss_off, n_frames)
+        np.asarray(out)
+        dt = (time.perf_counter() - t0) / iters
+        return b * (n_frames * 0.010) / dt
+    except Exception:
+        return None
+
+
 def main():
     streams, step_s = bench_fused_celt()
     silk = fargan = None
@@ -201,6 +236,7 @@ def main():
     except Exception:
         pass
     fargan = bench_fargan()
+    recovery = bench_dnn_recovery()
     baseline = 50000.0
     out = {
         "metric": "realtime-equiv enc+dec streams/chip "
@@ -217,6 +253,8 @@ def main():
         out["silk_dec_streams"] = round(silk, 1)
     if fargan is not None:
         out["fargan_streams"] = round(fargan, 1)
+    if recovery is not None:
+        out["dnn_recovery_streams"] = round(recovery, 1)
     print(json.dumps(out))
 
 
