@@ -208,7 +208,10 @@ def bench_dnn_recovery():
             state0=rng.randn(b, 24).astype(np.float32) * 0.3,
             latents=rng.randn(t, b, 81).astype(np.float32) * 0.3,
             nb_latents=np.full(b, t, np.int32),
-            dred_offset=np.zeros(b, np.int32),
+            # dred_offset 8 + loss offsets 2..4 put the playback rows
+            # in [0, 4*t): the benchmark exercises the real
+            # RDOVAE-decoded feature path, not the zero-row gather
+            dred_offset=np.full(b, 8, np.int32),
             has_dred=np.ones(b, bool))
         pcm0 = np.clip(0.2 * rng.randn(b, 320), -1, 1)
         loss_off = (2 + np.arange(b) % 3).astype(np.int32)
@@ -240,7 +243,7 @@ def main():
     baseline = 50000.0
     out = {
         "metric": "realtime-equiv enc+dec streams/chip "
-                  f"(fused CELT {FRAME * 1000 // 48000} ms "
+                  f"(fused CELT {FRAME * 1000 / 48000:g} ms "
                   f"{BITRATE // 1000} kb/s mono, PCM->packets->PCM, "
                   "all-on-device)",
         "value": round(streams, 1),

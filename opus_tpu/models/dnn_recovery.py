@@ -88,26 +88,37 @@ def playback_rows(parsed: ParsedBatch, loss_offset_frames: np.ndarray,
                   n_frames: int):
     """Feature-row schedule mirroring feed_dred_fec
     (src/opus_decoder.c:752): row r holds the features r*10 ms before
-    the newest DRED point; playing frame t of the loss (t forward in
-    time, starting loss_offset_frames after the newest point) reads
-    row -(loss_offset + t) - floor(dred_offset/4) ... expressed with
-    the same rounding as the scalar path.  Also returns the 5 priming
-    rows (oldest first) for fargan_cont.  Rows outside [0, 4*nb) are
-    -1 (zero features)."""
+    the newest DRED point.  With the loss starting
+    loss_offset_frames*10 ms past the anchor, concealment frame t
+    (forward in time) reads row
+
+        base - 2 - t,   base = floor(loss_offset_frames
+                                     + dred_offset / 4)
+
+    — the combined floor and the -2 frame bias both match the
+    reference (the 5-ms synthesis overlap compensates the missing 0.5
+    rounding offset).  Both offsets enter with a PLUS sign, exactly as
+    in feed_dred_fec: feature_offset = init_frames - i - 2
+    + floor((loss_samples + dred_offset*F10/4)/F10).  Also returns the
+    5 fargan_cont priming rows (oldest first): the frames immediately
+    before the loss, base - 2 + (5 - j); the last two coincide with
+    the reference's init_frames rows (blend == 0).  Rows outside
+    [0, 4*nb_latents) are -1 (zero features)."""
     b = len(parsed.nb_latents)
-    base = np.floor(parsed.dred_offset / 4.0).astype(np.int64)
-    play = np.zeros((b, n_frames), np.int32)
-    cont = np.zeros((b, 5), np.int32)
+    play = np.full((b, n_frames), -1, np.int32)
+    cont = np.full((b, 5), -1, np.int32)
     for i in range(b):
+        if not parsed.has_dred[i]:
+            continue
         hi = 4 * int(parsed.nb_latents[i]) - 1
+        base = int(np.floor(float(loss_offset_frames[i])
+                            + float(parsed.dred_offset[i]) / 4.0))
         for t in range(n_frames):
-            r = int(-(int(loss_offset_frames[i]) + t) - base[i])
-            play[i, t] = r if 0 <= r <= hi and parsed.has_dred[i] \
-                else -1
+            r = base - 2 - t
+            play[i, t] = r if 0 <= r <= hi else -1
         for j in range(5):
-            r = int(-(int(loss_offset_frames[i]) - (5 - j)) - base[i])
-            cont[i, j] = r if 0 <= r <= hi and parsed.has_dred[i] \
-                else -1
+            r = base - 2 + (5 - j)
+            cont[i, j] = r if 0 <= r <= hi else -1
     return cont, play
 
 

@@ -79,6 +79,30 @@ def test_parse_batch_matches_scalar(models, dred_packets):
     assert n_with >= 2      # the fixture must actually exercise DRED
 
 
+def _feed_dred_fec_rows(dred_offset, nb_latents, loss_off_frames,
+                        n_frames):
+    """Independent transliteration of the reference row schedule
+    (feed_dred_fec, src/opus_decoder.c:752) with init_frames == 2
+    (blend == 0), extended to the 5 fargan_cont priming frames by the
+    same formula.  Deliberately does NOT call playback_rows so the
+    parity test below actually checks the pipeline's index math."""
+    hi = 4 * nb_latents - 1
+
+    def row(i):
+        # feature_offset = init_frames - i - 2
+        #                  + floor((loss_samples + d*F10/4)/F10)
+        f10 = 160
+        off = 2 - i - 2 + int(np.floor(
+            (loss_off_frames * f10 + dred_offset * f10 / 4) / f10))
+        return off if 0 <= off <= hi else -1
+
+    # i = 0, 1 are the two init rows; i = 2 + t plays frame t.  The
+    # five cont rows (oldest first) are i = -3..1.
+    cont = [row(i) for i in range(-3, 2)]
+    play = [row(2 + t) for t in range(n_frames)]
+    return np.asarray(cont, np.int32), np.asarray(play, np.int32)
+
+
 def test_batched_recovery_matches_scalar(models, dred_packets):
     fs, n_frames = 16000, 6
     b = len(dred_packets)
@@ -94,22 +118,44 @@ def test_batched_recovery_matches_scalar(models, dred_packets):
     assert out.shape == (b, n_frames * 160)
     assert np.isfinite(out).all()
 
-    # scalar composition, one stream at a time through the SAME
-    # public single-stream primitives
+    # the schedule must route REAL decoded rows (not only the -1 zero
+    # rows) for these offsets, and must match the reference row logic
     cont_idx, play_idx = playback_rows(parsed, loss_off, n_frames)
+    n_real = 0
     for i in range(b):
+        if not parsed.has_dred[i]:
+            continue
+        cont_ref, play_ref = _feed_dred_fec_rows(
+            int(parsed.dred_offset[i]), int(parsed.nb_latents[i]),
+            int(loss_off[i]), n_frames)
+        np.testing.assert_array_equal(play_idx[i], play_ref)
+        np.testing.assert_array_equal(cont_idx[i], cont_ref)
+        n_real += int((play_ref >= 0).sum() > 0)
+    assert n_real >= 2, "fixture must exercise real DRED playback rows"
+
+    # scalar composition, one stream at a time through the SAME
+    # public single-stream primitives, with independently derived rows
+    for i in range(b):
+        if parsed.has_dred[i]:
+            cont_i, play_i = _feed_dred_fec_rows(
+                int(parsed.dred_offset[i]), int(parsed.nb_latents[i]),
+                int(loss_off[i]), n_frames)
+        else:
+            cont_i = np.full(5, -1, np.int32)
+            play_i = np.full(n_frames, -1, np.int32)
+        cont_idx_i, play_idx_i = cont_i, play_i
         feats = np.asarray(rdovae.decode_all(
             models["dec"], jnp.asarray(parsed.state0[i]),
             jnp.asarray(parsed.latents[:, i])))
         zrow = np.zeros(rdovae.DRED_NUM_FEATURES, np.float32)
         f_cont = np.stack([feats[r] if r >= 0 else zrow
-                           for r in cont_idx[i]])
+                           for r in cont_idx_i])
         st = fg.init_state(())
         st = fg.cont(models["fargan"], st, jnp.asarray(pcm0[i]),
                      jnp.asarray(f_cont))
         chunks = []
         for t in range(n_frames):
-            r = play_idx[i, t]
+            r = play_idx_i[t]
             f = feats[r] if r >= 0 else zrow
             st, p = fg.synthesize_frame(models["fargan"], st,
                                         jnp.asarray(f))
