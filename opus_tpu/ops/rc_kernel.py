@@ -68,12 +68,37 @@ def pack_words(buf_bytes: np.ndarray, nbytes_cap: int) -> np.ndarray:
     return words.astype(np.int32).T.copy()              # [W, B]
 
 
+_MASKED_READS = False
+
+
+class masked_reads:
+    """Context: route read_word through the gather-free mask-reduce.
+
+    Mosaic (Pallas TPU) has no per-lane gather, so inside a kernel trace
+    the word fetch runs as a compare/select sweep over the W word pages
+    instead of take_along_axis.  Each packet byte is consumed once, so
+    the sweep cost is bounded by the payload size."""
+
+    def __enter__(self):
+        global _MASKED_READS
+        self._prev = _MASKED_READS
+        _MASKED_READS = True
+
+    def __exit__(self, *exc):
+        global _MASKED_READS
+        _MASKED_READS = self._prev
+
+
 def read_word(buf, widx):
     """buf: [W, *shape] i32 word pages; widx: [*shape] i32 word index.
-    One per-lane gather (XLA path; a Pallas port would use the
-    mask-reduce over pages instead — each byte is read once, so either
-    is cheap at runtime)."""
+    One per-lane gather on the XLA path; a page mask-reduce under
+    masked_reads() (Pallas trace)."""
     idx = jnp.clip(widx, 0, buf.shape[0] - 1)
+    if _MASKED_READS:
+        acc = buf[0]
+        for w in range(1, buf.shape[0]):
+            acc = _sel(idx == w, buf[w], acc)
+        return acc
     return jnp.take_along_axis(buf, idx[None, ...], axis=0)[0]
 
 
