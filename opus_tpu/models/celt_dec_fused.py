@@ -437,17 +437,19 @@ def _laplace_decode(d, buf, lens, fs0, decay, active):
     ft1 = ((32768 - 2 * 16 - fs0) * (16384 - decay)) >> 15
     fs = _sel(ge, ft1 + 1, fs0)
 
+    # the running flag is carried as i32, not bool: Mosaic cannot
+    # legalize scf.for loops with vector<i1> carries
     def _step(t, carry):
         fs, fl, val, running = carry
-        cond = running & (fs > 1) & (fm >= fl + 2 * fs)
+        cond = (running != 0) & (fs > 1) & (fm >= fl + 2 * fs)
         fs2 = fs * 2
         fs = _sel(cond, (((fs2 - 2) * decay) >> 15) + 1, fs)
         fl = _sel(cond, fl + fs2, fl)
         val = _sel(cond, val + 1, val)
-        return fs, fl, val, cond
+        return fs, fl, val, cond.astype(i32)
 
     fs, fl, val, _run = jax.lax.fori_loop(
-        0, LAPLACE_CAP, _step, (fs, fl, val, ge))
+        0, LAPLACE_CAP, _step, (fs, fl, val, ge.astype(i32)))
     overflow = ge & (fs > 1) & (fm >= fl + 2 * fs)
     di = _sel(ge & (fs <= 1), (fm - fl) >> 1, 0)
     val = val + di
@@ -545,9 +547,11 @@ def _dynalloc(d, buf, lens, tabs: DecTabs, total_bits, nbytes_cap: int,
         trips = min((cap_i + quanta - 1) // quanta,
                     (nbytes_cap * 8 << BITRES) // quanta + 1)
 
+        # `running` carried as i32: Mosaic cannot legalize scf.for
+        # loops with vector<i1> carries
         def _trip(t, carry):
             d, tellf, boost, tb8, loop_logp, running = carry
-            can = running & (tellf + (loop_logp << BITRES) < tb8) \
+            can = (running != 0) & (tellf + (loop_logp << BITRES) < tb8) \
                 & (boost < cap_i)
             flag, d = K.rk_dec_bit_logp(
                 d, buf, lens, loop_logp.astype(u32), can)
@@ -556,10 +560,10 @@ def _dynalloc(d, buf, lens, tabs: DecTabs, total_bits, nbytes_cap: int,
             boost = _sel(got, boost + quanta, boost)
             tb8 = _sel(got, tb8 - quanta, tb8)
             loop_logp = _sel(got, jnp.ones_like(loop_logp), loop_logp)
-            return d, tellf, boost, tb8, loop_logp, got
+            return d, tellf, boost, tb8, loop_logp, got.astype(i32)
 
         carry = (d, tellf, jnp.zeros_like(tellf), total_bits8,
-                 dynalloc_logp, active)
+                 dynalloc_logp, active.astype(i32))
         d, tellf, boost, total_bits8, _lp, _run = jax.lax.fori_loop(
             0, trips, _trip, carry)
         offsets.append(boost)
@@ -1037,7 +1041,8 @@ def _compute_qn_vec(n2: int, b, offset: int, pulse_cap: int):
     qb = jnp.minimum(8 << BITRES, qb)
     exp_v = _lit_lookup(EXP2_TABLE8, qb & 0x7)
     sh = (14 - (qb >> BITRES)).astype(u32)
-    qn = ((exp_v >> jnp.minimum(sh, u32(31))) + 1) >> 1 << 1
+    # unsigned min via cmp+select: Mosaic has no arith.minui lowering
+    qn = ((exp_v >> _sel(sh < 31, sh, u32(31))) + 1) >> 1 << 1
     return _sel(qb < (1 << BITRES >> 1), 1, qn)
 
 

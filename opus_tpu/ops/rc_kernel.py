@@ -50,6 +50,15 @@ def _sel(mask, a, b):
     return jnp.where(mask, a, b)
 
 
+def _umin(a, b):
+    """Unsigned min as cmp+select (Mosaic has no arith.minui lowering)."""
+    return _sel(a < b, a, b)
+
+
+def _umax(a, b):
+    return _sel(a > b, a, b)
+
+
 def _ilog(v):
     """EC_ILOG: bit length of v (0 -> 0)."""
     return jnp.where(v == 0, 0, 32 - jax.lax.clz(v.astype(u32))).astype(i32)
@@ -177,11 +186,11 @@ def rk_init(buf, storage) -> dict:
 
 def rk_decode(d: dict, ft, active=None):
     """ec_decode: returns (fs, state with saved divisor)."""
-    ftu = jnp.maximum(jnp.asarray(ft).astype(u32), 1)
+    ftu = _umax(jnp.asarray(ft).astype(u32), u32(1))
     ftu = jnp.broadcast_to(ftu, d["rng"].shape)
     ext = d["rng"] // ftu
     s = d["val"] // ext
-    fs = ftu - jnp.minimum(s + 1, ftu)
+    fs = ftu - _umin(s + 1, ftu)
     new = dict(d)
     new["ext"] = ext
     new = _masked(new, d, active)
@@ -195,7 +204,7 @@ def rk_decode_bin(d: dict, bits: int, active=None):
     ext = d["rng"] >> bits
     s = d["val"] // ext
     total = u32(1 << bits)
-    fs = total - jnp.minimum(s + 1, total)
+    fs = total - _umin(s + 1, total)
     new = dict(d)
     new["ext"] = ext
     new = _masked(new, d, active)
@@ -313,7 +322,7 @@ def rk_dec_uint(d: dict, buf, storage, ft, active=None):
     0-bit no-op — one traced path instead of two."""
     if active is None:
         active = jnp.ones(d["rng"].shape, bool)
-    ftm = jnp.maximum(jnp.asarray(ft).astype(u32), 2) - 1
+    ftm = _umax(jnp.asarray(ft).astype(u32), u32(2)) - 1
     ftm = jnp.broadcast_to(ftm, d["rng"].shape)
     ftb = _ilog(ftm)
     big = ftb > UINT_BITS
@@ -326,7 +335,7 @@ def rk_dec_uint(d: dict, buf, storage, ft, active=None):
                          active & big)
     t = ((fs.astype(u32) << sh) | lo.astype(u32))
     err = active & big & (t > ftm)
-    t = jnp.minimum(t, ftm)
+    t = _umin(t, ftm)
     ret = _sel(big, t.astype(i32), fs)
     d2 = dict(d2)
     d2["error"] = d2["error"] | err.astype(i32)
