@@ -934,3 +934,118 @@ def build_frame_fn(tabs: KTabs, W: int, R: int, interpret: bool = False):
                     pf_tapset=ints[5], error=ints[6], tell=ints[7],
                     pf_gain=pfg, rng=rng)
     return fn
+
+
+# ===================================================================== #
+# production wrapper: packets -> PCM with the kernel symbol pass        #
+# ===================================================================== #
+
+def kernel_celt_decode_to_pcm(buf, lens, state, tabs: KTabs, frame_fn):
+    """One fully-on-device frame at 10/20 ms: the Pallas symbol kernel
+    + the XLA synthesis stage (IMDCT/TDAC, postfilter, deemphasis).
+
+    buf: [W, R, 128] packed words; lens: [R, 128]; state: the
+    fused_celt_init_state dict (B = R*128 lanes, [B]-shaped leaves).
+    Mirrors celt_dec_fused.fused_celt_decode_to_pcm
+    (celt_decoder.c:1209-1614); returns (pcm [B, 1, N], new state,
+    err [B])."""
+    from .batched_decode import decode_step
+    from ..celt.tables import COMB_GAINS, COMBFILTER_MINPERIOD
+
+    r, lanes = lens.shape
+    bsz = r * lanes
+    nb = tabs.nb
+
+    def to_rl(v):                      # [B] -> [R, 128]
+        return v.reshape(r, lanes)
+
+    def to_b(v):                       # [R, 128] -> [B]
+        return v.reshape(bsz)
+
+    old_e = jnp.stack([to_rl(e) for e in state["old_e"]])
+    prevmin = jnp.stack([to_rl(jnp.minimum(p1, p2)) for p1, p2 in
+                         zip(state["prev1"], state["prev2"])])
+    out = frame_fn(buf, lens, old_e, prevmin, to_rl(state["seed"]))
+
+    err = to_b(out["error"]) != 0
+    silence = to_b(out["silence"]) != 0
+    transient = to_b(out["is_transient"]) != 0
+    energies = [to_b(out["energies"][i]) for i in range(nb)]
+
+    n_full = tabs.mode.shortMdctSize << tabs.lm
+    x = out["X"].reshape(tabs.nx_rows, bsz).T
+    x = jnp.pad(x, ((0, 0), (0, n_full - x.shape[1])))[:, None, :]
+    e_arr = jnp.stack(energies, axis=-1)[:, None, :]
+
+    minp = COMBFILTER_MINPERIOD
+    pf_pitch = to_b(out["pf_pitch"])
+    pf_gain = to_b(out["pf_gain"])
+    pf_tapset = to_b(out["pf_tapset"])
+    pp = jnp.maximum(state["pf_period"], minp)
+    ppo = jnp.maximum(state["pf_period_old"], minp)
+    periods = jnp.stack([ppo, pp, jnp.maximum(pf_pitch, minp)],
+                        axis=-1).astype(jnp.int32)
+    comb = jnp.asarray(np.asarray(COMB_GAINS, np.float32))
+    gains3 = jnp.stack([state["pf_gain_old"], state["pf_gain"],
+                        pf_gain], axis=-1)
+    tapsets3 = jnp.stack([state["pf_tapset_old"], state["pf_tapset"],
+                          pf_tapset], axis=-1)
+    tgains = gains3[..., None] * comb[tapsets3]
+
+    pcm, dsp = decode_step(x, e_arr, transient, silence, periods,
+                           tgains, state["dsp"], fs=tabs.mode.Fs,
+                           frame_size=n_full, lm=tabs.lm, channels=1)
+
+    e_sil = [_sel(silence, f32(-28.0), e) for e in energies]
+    prev1 = state["prev1"]
+    prev2 = state["prev2"]
+    new_prev2 = [_sel(transient, p2, p1) for p1, p2 in zip(prev1, prev2)]
+    new_prev1 = [_sel(transient, jnp.minimum(p1, e), e)
+                 for p1, e in zip(prev1, e_sil)]
+    new_state = dict(
+        old_e=e_sil, prev1=new_prev1, prev2=new_prev2,
+        seed=to_b(out["rng"]),
+        pf_period_old=pf_pitch, pf_gain_old=pf_gain,
+        pf_tapset_old=pf_tapset,
+        pf_period=pf_pitch, pf_gain=pf_gain, pf_tapset=pf_tapset,
+        dsp=dsp)
+    return pcm, new_state, err
+
+
+class KernelCeltDecoder:
+    """Packets-in -> PCM-out mono CELT decoder with the Pallas symbol
+    kernel (the 10/20 ms production path; FusedCeltDecoder keeps the
+    unrolled-XLA path for 2.5/5 ms)."""
+
+    def __init__(self, batch: int, fs: int = 48000,
+                 frame_size: int = 960, max_payload: int = 384):
+        assert batch % LANES == 0, "batch must be a multiple of 1024"
+        self.batch = batch
+        self.R = batch // 128
+        self.tabs = KTabs(fs, frame_size)
+        self.P = (max_payload + 3) // 4 * 4
+        self.W = self.P // 4
+        from .celt_dec_fused import fused_celt_init_state
+        self.state = fused_celt_init_state(batch, self.tabs)
+        frame_fn = build_frame_fn(self.tabs, self.W, self.R)
+        self._step = jax.jit(
+            lambda b, l, s: kernel_celt_decode_to_pcm(b, l, s,
+                                                      self.tabs,
+                                                      frame_fn))
+
+    def pack(self, payloads):
+        bufb = np.zeros((self.batch, self.P), np.uint32)
+        lens = np.zeros(self.batch, np.int32)
+        for i, p in enumerate(payloads):
+            a = np.frombuffer(p, np.uint8)
+            bufb[i, :len(a)] = a
+            lens[i] = len(a)
+        words = K.pack_words(bufb, self.P)        # [W, B]
+        return (words.reshape(self.W, self.R, 128),
+                lens.reshape(self.R, 128))
+
+    def decode(self, payloads):
+        buf, lens = self.pack(payloads)
+        pcm, self.state, err = self._step(jnp.asarray(buf),
+                                          jnp.asarray(lens), self.state)
+        return np.asarray(pcm), np.asarray(err)

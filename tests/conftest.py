@@ -5,14 +5,15 @@ import sys
 # without TPU hardware.  The axon sitecustomize pins jax_platforms to
 # "axon,cpu" at interpreter start, so we must override the live config, not
 # just the env var.
-os.environ["JAX_PLATFORMS"] = "cpu"
+plat = os.environ.get("OPUS_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = plat
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", plat)
 
 # the fused on-device codec graphs are large; cache compilations across
 # test processes so the cost is paid once per machine
