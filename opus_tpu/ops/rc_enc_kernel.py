@@ -116,6 +116,32 @@ def re_encode(e: dict, dig: PageBuf, fl, fh, ft, active=None,
     return _masked(new, e, active)
 
 
+def re_encode_bin(e: dict, dig: PageBuf, fl, fh, bits: int, active=None,
+                  dry=False):
+    """ec_encode_bin: ft = 1<<bits static."""
+    if active is None:
+        active = jnp.ones(e["rng"].shape, bool)
+    flu = jnp.asarray(fl).astype(u32)
+    fhu = jnp.asarray(fh).astype(u32)
+    r = e["rng"] >> bits
+    total = u32(1 << bits)
+    big = flu > 0
+    new = dict(e)
+    if not dry:
+        new["val"] = _sel(big, e["val"] + e["rng"] - r * (total - flu),
+                          e["val"])
+    new["rng"] = _sel(big, r * (fhu - flu), e["rng"] - r * (total - fhu))
+    if dry:
+        for _ in range(3):
+            need = active & (new["rng"] <= u32(CODE_BOT))
+            new["rng"] = _sel(need, new["rng"] << SYM_BITS, new["rng"])
+            new["nbits_total"] = _sel(need, new["nbits_total"] + SYM_BITS,
+                                      new["nbits_total"])
+        return _masked(new, e, active)
+    new = _normalize(new, dig, active)
+    return _masked(new, e, active)
+
+
 def re_enc_bit_logp(e: dict, dig: PageBuf, bit, logp, active=None,
                     dry=False):
     if active is None:
@@ -170,13 +196,18 @@ def re_enc_icdf(e: dict, dig: PageBuf, s, icdf, ftb: int, active=None,
     return _masked(new, e, active)
 
 
-def re_enc_bits(e: dict, end: PageBuf, fl, bits, active=None):
+def re_enc_bits(e: dict, end: PageBuf, fl, bits, active=None,
+                dry=False):
     """Raw bits into the end window (entenc.c:204); bits [sh] i32
-    (0 = no-op)."""
+    (0 = no-op).  Raw bits never touch rng, so dry mode only advances
+    nbits_total."""
     if active is None:
         active = jnp.ones(e["rng"].shape, bool)
     bits = jnp.broadcast_to(jnp.asarray(bits, i32), e["rng"].shape)
     act = active & (bits > 0)
+    if dry:
+        new = dict(e, nbits_total=e["nbits_total"] + bits)
+        return _masked(new, e, act)
     window = e["end_window"]
     used = e["nend_bits"]
     nend = e["nend"]
@@ -196,7 +227,7 @@ def re_enc_bits(e: dict, end: PageBuf, fl, bits, active=None):
 
 
 def re_enc_uint(e: dict, dig: PageBuf, end: PageBuf, fl, ft,
-                active=None):
+                active=None, dry=False):
     """ec_enc_uint with the >8-bit raw-bit split, one traced path."""
     if active is None:
         active = jnp.ones(e["rng"].shape, bool)
@@ -208,10 +239,11 @@ def re_enc_uint(e: dict, dig: PageBuf, end: PageBuf, fl, ft,
     flu = jnp.asarray(fl).astype(u32)
     hi = (flu >> sh).astype(i32)
     e = re_encode(e, dig, hi, hi + 1, ((ftm >> sh) + 1).astype(i32),
-                  active)
+                  active, dry=dry)
     mask = (u32(1) << sh) - 1
     e = re_enc_bits(e, end, (flu & mask).astype(i32),
-                    _sel(active & big, sh.astype(i32), 0), active & big)
+                    _sel(active & big, sh.astype(i32), 0), active & big,
+                    dry=dry)
     return e
 
 

@@ -1312,7 +1312,7 @@ _SNR_TABLE_WB = TD.TARGETRATE_WB_21 if hasattr(TD, "TARGETRATE_WB_21") else None
 class SilkEncoder:
     """silk_Encode equivalent (mono; reference: silk/enc_API.c:150)."""
 
-    def __init__(self, use_jax_nsq: bool = False):
+    def __init__(self, use_jax_nsq: bool = True):
         self.channels = [SilkEncoderChannel(), SilkEncoderChannel()]
         self.channel = self.channels[0]   # mono alias
         self.stereo = StereoEncState()
