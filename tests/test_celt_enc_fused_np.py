@@ -52,7 +52,7 @@ def _fused_encode(sigs, nbytes, nframes=NFRAMES):
     mods = install(extra_modules=[E])
     try:
         tabs = E.EncTabs(FS, N)
-        state = E.fused_celt_enc_init(B, tabs)
+        state = E.fused_celt_enc_init(sigs.shape[0], tabs)
         frames = []
         for f in range(nframes):
             payload, rngv, err, state, dbg = E.fused_celt_encode_frame(
