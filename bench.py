@@ -1,27 +1,29 @@
 """Throughput benchmark: realtime-equivalent enc+dec streams per chip,
 measured PCM-in -> packets -> PCM-out.  Prints ONE JSON line.
 
-Headline pipeline (all codec work ON DEVICE, fused jits):
-  encode: FusedCeltEncoder — preemph + dual MDCT + band energies on the
-          MXU, then the full vectorized symbol-encode pass (transient,
-          two-pass coarse energy, tf Viterbi, spreading, dynalloc,
-          allocation, PVQ search + CWRS, plan-coder finalize) in one jit
-  decode: FusedCeltDecoder — vectorized range decode + plan + PVQ/CWRS
-          + folding/anti-collapse + IMDCT/TDAC + postfilter +
-          deemphasis in one jit
-at 64 kb/s mono 48 kHz CELT (2.5 ms frames by default — the largest
-frame whose fused graph currently compiles in bounded time on the TPU
-toolchain; OPUS_BENCH_FRAME=480/960 selects 10/20 ms).  Packets are
-materialized on the host between the two directions (real bytes, real
-transfers).
+Headline (20 ms 64 kb/s mono CELT, the tracked-config frame size; all
+codec work ON DEVICE):
+  encode: KernelCeltEncoder — preemph + dual MDCT + band energies on
+          the MXU, then the whole per-frame symbol pass (transient,
+          coarse/fine energy, tf Viterbi, dynalloc, allocation, PVQ
+          search + CWRS, range encode) as ONE Pallas TPU kernel
+  decode: KernelCeltDecoder — the mirrored symbol pass (range decode,
+          plan, PVQ/CWRS band tree, folding, anti-collapse) as ONE
+          Pallas kernel feeding the XLA synthesis (IMDCT/TDAC,
+          postfilter, deemphasis)
+Packet bytes are materialized on the host between the two directions
+(real bytes, real transfers).  Stage lines `enc_streams`/`dec_streams`
+give each direction alone; the headline `value` is the full-duplex
+rate (a stream needs both).  OPUS_BENCH_FRAME=120/240/480 selects the
+smaller frames (2.5/5 ms run the unrolled-XLA fused path instead —
+the kernel path targets LM >= 2).
 
 Secondary per-config lines in the same JSON object:
   silk_dec_streams   — fused SILK-WB decoder, packets -> int16 PCM
                        (tracked config 3's decode side)
   fargan_streams     — batched FARGAN vocoder (tracked config 5's
                        synthesis stage), from tools/bench_dnn
-  decode_dsp_streams — synthesis-only DSP rate (upper bound for the
-                       decode DSP stage alone)
+  dnn_recovery_streams — DRED->RDOVAE->FARGAN loss recovery pipeline
 
 North star (BASELINE.json): 50,000 realtime-equivalent 20 ms enc+dec
 streams per TPU v5e chip.
@@ -33,16 +35,23 @@ import time
 
 import numpy as np
 
-FRAME = int(os.environ.get("OPUS_BENCH_FRAME", "120"))
+FRAME = int(os.environ.get("OPUS_BENCH_FRAME", "960"))
 BATCH = int(os.environ.get("OPUS_BENCH_BATCH", "4096"))
 BITRATE = 64000
 NBYTES = BITRATE * FRAME // 48000 // 8
 NFRAMES = 8
 REPS = 3
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(
-                          os.path.abspath(__file__)), ".jax_cache"))
+# this jax build does not read JAX_COMPILATION_CACHE_DIR from the
+# environment; the config update is the only switch that works.  The
+# kernel compiles are large (minutes..hour) — persisting them is what
+# makes repeat bench runs cheap.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(
+                      os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def _program(nframes: int, n: int) -> np.ndarray:
@@ -56,6 +65,53 @@ def _program(nframes: int, n: int) -> np.ndarray:
         p0 = int(rng.integers(0, total - 500))
         sig[p0:p0 + 400] += 0.5 * rng.standard_normal(400) * np.hanning(400)
     return np.clip(sig, -1, 1).astype(np.float32)
+
+
+def bench_kernel_celt():
+    """Full-duplex CELT at 10/20 ms through the Pallas symbol kernels.
+
+    PCM -> packets (host bytes) -> PCM.  Returns (duplex_streams,
+    enc_streams, dec_streams, enc_step_s, dec_step_s)."""
+    import jax.numpy as jnp
+    from opus_tpu.models.celt_enc_kernel import KernelCeltEncoder
+    from opus_tpu.models.celt_dec_kernel import KernelCeltDecoder
+    from opus_tpu.ops import rc_kernel as K
+
+    enc = KernelCeltEncoder(BATCH, 48000, FRAME, nbytes=NBYTES)
+    dec = KernelCeltDecoder(BATCH, 48000, FRAME, max_payload=NBYTES)
+    sig = _program(1, FRAME)
+    pcm = np.tile(sig[:FRAME], (BATCH, 1))
+
+    def pack(pay):
+        # vectorized host repack: [B, nbytes] u8 -> [W, R, 128] words
+        words = K.pack_words(pay.astype(np.uint32), dec.P)
+        return (jnp.asarray(words.reshape(dec.W, dec.R, 128)),
+                jnp.asarray(np.full((dec.R, 128), NBYTES, np.int32)))
+
+    pay, rng_e, err_e = enc.encode(pcm)          # compile enc
+    assert not err_e.any()
+    buf, lens = pack(pay)
+    pcm_o, dec_state, err_d = dec._step(buf, lens, dec.state)  # compile
+    dec.state = dec_state
+    assert not np.asarray(err_d).any()
+
+    enc_best = dec_best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            pay, rng_e, err_e = enc.encode(pcm)
+        enc_best = min(enc_best, (time.perf_counter() - t0) / 4)
+        buf, lens = pack(pay)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            pcm_o, dec.state, err_d = dec._step(buf, lens, dec.state)
+        np.asarray(err_d)
+        dec_best = min(dec_best, (time.perf_counter() - t0) / 4)
+    dur = FRAME / 48000.0
+    enc_streams = BATCH * dur / enc_best
+    dec_streams = BATCH * dur / dec_best
+    duplex = BATCH * dur / (enc_best + dec_best)
+    return duplex, enc_streams, dec_streams, enc_best, dec_best
 
 
 def bench_fused_celt():
@@ -232,7 +288,23 @@ def bench_dnn_recovery():
 
 
 def main():
-    streams, step_s = bench_fused_celt()
+    kernel_path = FRAME >= 480
+    stage = {}
+    if kernel_path:
+        try:
+            (streams, enc_s, dec_s, enc_t,
+             dec_t) = bench_kernel_celt()
+            stage = {"enc_streams": round(enc_s, 1),
+                     "dec_streams": round(dec_s, 1),
+                     "enc_step_s": round(enc_t, 4),
+                     "dec_step_s": round(dec_t, 4)}
+            step_s = enc_t + dec_t
+            how = "Pallas-kernel symbol pass"
+        except Exception:
+            kernel_path = False
+    if not kernel_path:
+        streams, step_s = bench_fused_celt()
+        how = "fused-XLA symbol pass"
     silk = fargan = None
     try:
         silk = bench_fused_silk_dec()
@@ -243,14 +315,15 @@ def main():
     baseline = 50000.0
     out = {
         "metric": "realtime-equiv enc+dec streams/chip "
-                  f"(fused CELT {FRAME * 1000 / 48000:g} ms "
+                  f"(CELT {FRAME * 1000 / 48000:g} ms "
                   f"{BITRATE // 1000} kb/s mono, PCM->packets->PCM, "
-                  "all-on-device)",
+                  f"all-on-device, {how})",
         "value": round(streams, 1),
         "unit": "streams",
         "vs_baseline": round(streams / baseline, 4),
         "frame_step_s": round(step_s, 4),
         "batch": BATCH,
+        **stage,
     }
     if silk is not None:
         out["silk_dec_streams"] = round(silk, 1)
