@@ -388,9 +388,14 @@ def _v_row(n: int, cap: int) -> tuple:
 
 
 class DecTabs:
-    """Static per-(fs, frame_size) tables for the fused decoder."""
+    """Static per-(fs, frame_size) tables for the fused decoder.
 
-    def __init__(self, fs: int, frame_size: int):
+    start/end select the coded band range (celt_decoder.c st->start /
+    st->end): 0/nbEBands for CELT-only, 17/nbEBands for the hybrid
+    high-band half (src/opus_decoder.c:497)."""
+
+    def __init__(self, fs: int, frame_size: int, start: int = 0,
+                 end: int | None = None):
         mode = mode_create(fs, frame_size)
         self.mode = mode
         lm = 0
@@ -401,6 +406,9 @@ class DecTabs:
         self.M = m
         nb = mode.nbEBands
         self.nb = nb
+        self.start = start
+        self.end_band = nb if end is None else end
+        assert 0 <= start < self.end_band <= nb
         self.eBands = np.asarray(mode.eBands[:nb + 1], np.int32)
         self.width = ((self.eBands[1:] - self.eBands[:-1]) * m).astype(int)
         self.logN = [int(v) for v in mode.logN[:nb]]
@@ -474,7 +482,7 @@ def _coarse_energy(d, buf, lens, tabs: DecTabs, old_e, intra, total_bits,
     beta = _sel(intra_b, f32(BETA_INTRA), f32(BETA_COEF[lm]))
     old_e = list(old_e)
     prev = jnp.zeros_like(old_e[0])
-    for i in range(tabs.nb):
+    for i in range(tabs.start, tabs.end_band):
         tell = K.rk_tell(d)
         big = active & (total_bits - tell >= 15)
         med = active & ~big & (total_bits - tell >= 2)
@@ -510,10 +518,10 @@ def _tf_decode(d, buf, lens, tabs: DecTabs, is_transient, total_bits,
     budget = budget - tf_select_rsv.astype(i32)
     curr = jnp.zeros_like(tell)
     tf_changed = jnp.zeros_like(tell)
-    tf_res = []
-    for i in range(tabs.nb):
-        lo_logp = 2 if i == 0 else 4
-        hi_logp = 4 if i == 0 else 5
+    tf_res = [jnp.zeros_like(tell) for _ in range(tabs.start)]
+    for i in range(tabs.start, tabs.end_band):
+        lo_logp = 2 if i == tabs.start else 4
+        hi_logp = 4 if i == tabs.start else 5
         logp = _sel(is_transient, lo_logp, hi_logp)
         can = active & (tell + logp <= budget)
         bit, d = K.rk_dec_bit_logp(
@@ -523,6 +531,8 @@ def _tf_decode(d, buf, lens, tabs: DecTabs, is_transient, total_bits,
         tell = K.rk_tell(d)
         tf_changed = tf_changed | curr
         tf_res.append(curr)
+    tf_res += [jnp.zeros_like(tell)
+               for _ in range(tabs.nb - tabs.end_band)]
     it4 = 4 * is_transient.astype(i32)
     t_a = _lit_lookup(tsel, it4 + 0 + tf_changed)
     t_b = _lit_lookup(tsel, it4 + 2 + tf_changed)
@@ -539,8 +549,8 @@ def _dynalloc(d, buf, lens, tabs: DecTabs, total_bits, nbytes_cap: int,
     total_bits8 = total_bits << BITRES
     tellf = K.rk_tell_frac(d)
     dynalloc_logp = jnp.full_like(tellf, 6)
-    offsets = []
-    for i in range(nb):
+    offsets = [jnp.zeros_like(tellf) for _ in range(tabs.start)]
+    for i in range(tabs.start, tabs.end_band):
         width = int(tabs.width[i])
         quanta = min(width << BITRES, max(6 << BITRES, width))
         cap_i = int(tabs.caps[i])
@@ -570,6 +580,8 @@ def _dynalloc(d, buf, lens, tabs: DecTabs, total_bits, nbytes_cap: int,
         dynalloc_logp = _sel(boost > 0,
                              jnp.maximum(dynalloc_logp - 1, 2),
                              dynalloc_logp)
+    offsets += [jnp.zeros_like(tellf)
+                for _ in range(tabs.nb - tabs.end_band)]
     can_trim = active & (tellf + (6 << BITRES) <= total_bits8)
     trim_v, d = K.rk_dec_icdf(d, buf, lens, TRIM_ICDF, 7, can_trim)
     trim = _sel(can_trim, trim_v, 5)
@@ -580,6 +592,7 @@ def _compute_allocation(d, buf, lens, tabs: DecTabs, offsets, trim, total,
                         active):
     """compute_allocation, mono decode (rate.c:535)."""
     nb = tabs.nb
+    start, end = tabs.start, tabs.end_band
     eB = tabs.eBands
     total = jnp.maximum(total, 0)
     skip_rsv = _sel(total >= (1 << BITRES), 1 << BITRES, 0)
@@ -589,7 +602,7 @@ def _compute_allocation(d, buf, lens, tabs: DecTabs, offsets, trim, total,
               for j in range(nb)]
     trim_off = []
     for j in range(nb):
-        t = (widths[j] * (trim - 5 - tabs.lm) * (nb - 1 - j)
+        t = (widths[j] * (trim - 5 - tabs.lm) * (end - 1 - j)
              * (1 << (tabs.lm + BITRES))) >> 6
         if (widths[j] << tabs.lm) == 1:
             t = t - (1 << BITRES)
@@ -605,7 +618,7 @@ def _compute_allocation(d, buf, lens, tabs: DecTabs, offsets, trim, total,
         mid = (lo + hi) >> 1
         psum = jnp.zeros_like(total)
         done = jnp.zeros(total.shape, bool)
-        for j in range(nb - 1, -1, -1):
+        for j in range(end - 1, start - 1, -1):
             col = [int(widths[j] * allocV[v, j]) << tabs.lm >> 2
                    for v in range(nv)]
             bitsj = _lit_lookup(col, jnp.clip(mid, 0, nv - 1))
@@ -622,10 +635,11 @@ def _compute_allocation(d, buf, lens, tabs: DecTabs, offsets, trim, total,
         lo = _sel(go & ~over, mid + 1, lo)
     hi_f = lo
     lo_f = lo - 1
-    bits1 = []
-    bits2 = []
-    skip_start = jnp.zeros_like(total)
-    for j in range(nb):
+    zt = jnp.zeros_like(total)
+    bits1 = [zt for _ in range(start)]
+    bits2 = [zt for _ in range(start)]
+    skip_start = jnp.full_like(total, start)
+    for j in range(start, end):
         col = [int(widths[j] * allocV[v, j]) << tabs.lm >> 2
                for v in range(nv)]
         b1 = _lit_lookup(col, jnp.clip(lo_f, 0, nv - 1))
@@ -640,6 +654,8 @@ def _compute_allocation(d, buf, lens, tabs: DecTabs, offsets, trim, total,
         b2 = jnp.maximum(b2 - b1, 0)
         bits1.append(b1)
         bits2.append(b2)
+    bits1 += [zt for _ in range(nb - end)]
+    bits2 += [zt for _ in range(nb - end)]
     return _interp_bits2pulses(d, buf, lens, tabs, bits1, bits2, thresh,
                                total, skip_rsv, skip_start, active)
 
@@ -648,6 +664,7 @@ def _interp_bits2pulses(d, buf, lens, tabs: DecTabs, bits1, bits2, thresh,
                         total, skip_rsv, skip_start, active):
     """interp_bits2pulses, mono decode (rate.c:249)."""
     nb = tabs.nb
+    start, end = tabs.start, tabs.end_band
     alloc_floor = 1 << BITRES
     eB = [int(v) for v in tabs.eBands]
     caps = tabs.caps
@@ -657,7 +674,7 @@ def _interp_bits2pulses(d, buf, lens, tabs: DecTabs, bits1, bits2, thresh,
         mid = (lo + hi) >> 1
         psum = jnp.zeros_like(total)
         done = jnp.zeros(total.shape, bool)
-        for j in range(nb - 1, -1, -1):
+        for j in range(end - 1, start - 1, -1):
             tmp = bits1[j] + ((mid * bits2[j]) >> ALLOC_STEPS)
             use = (tmp >= thresh[j]) | done
             psum = psum + _sel(use, jnp.minimum(tmp, caps[j]),
@@ -668,8 +685,8 @@ def _interp_bits2pulses(d, buf, lens, tabs: DecTabs, bits1, bits2, thresh,
         lo = _sel(over, lo, mid)
     psum = jnp.zeros_like(total)
     done = jnp.zeros(total.shape, bool)
-    bits = [None] * nb
-    for j in range(nb - 1, -1, -1):
+    bits = [jnp.zeros_like(total)] * nb
+    for j in range(end - 1, start - 1, -1):
         tmp = bits1[j] + ((lo * bits2[j]) >> ALLOC_STEPS)
         low = (tmp < thresh[j]) & ~done
         tmp2 = _sel(low, _sel(tmp >= alloc_floor, alloc_floor, 0), tmp)
@@ -678,19 +695,19 @@ def _interp_bits2pulses(d, buf, lens, tabs: DecTabs, bits1, bits2, thresh,
         bits[j] = tmp2
         psum = psum + tmp2
 
-    coded_bands = jnp.full_like(total, nb)
+    coded_bands = jnp.full_like(total, end)
     finished = ~active
     forced_stop = jnp.zeros(total.shape, bool)
-    for j in range(nb - 1, 0, -1):
+    for j in range(end - 1, start, -1):
         is_cur = (~finished) & (coded_bands == j + 1) & (j > skip_start)
         at_skip = (~finished) & (coded_bands == j + 1) & (j <= skip_start)
         finished = finished | at_skip
         forced_stop = forced_stop | at_skip
         left = total - psum
-        den = eB[j + 1] - eB[0]
+        den = eB[j + 1] - eB[start]
         percoeff = left // den
         leftr = left - den * percoeff
-        rem = jnp.maximum(leftr - (eB[j] - eB[0]), 0)
+        rem = jnp.maximum(leftr - (eB[j] - eB[start]), 0)
         band_width = eB[j + 1] - eB[j]
         band_bits = bits[j] + percoeff * band_width + rem
         th = max(thresh[j], alloc_floor + (1 << BITRES))
@@ -712,26 +729,27 @@ def _interp_bits2pulses(d, buf, lens, tabs: DecTabs, bits1, bits2, thresh,
     total = total + _sel(forced_stop, skip_rsv, 0)
 
     left = total - psum
-    den = _lit_lookup([eB[c] - eB[0] for c in range(nb + 1)],
+    den = _lit_lookup([max(eB[c] - eB[start], 0) for c in range(nb + 1)],
                       jnp.clip(coded_bands, 0, nb))
     den = jnp.maximum(den, 1)
     percoeff = left // den
     left = left - den * percoeff
-    in_coded = [j < 21 for j in range(nb)]  # refined below per lane
-    for j in range(nb):
+    in_coded = [False] * nb  # refined below per lane
+    for j in range(start, end):
         in_c = j < coded_bands
         bits[j] = bits[j] + _sel(in_c, percoeff * (eB[j + 1] - eB[j]), 0)
         in_coded[j] = in_c
-    for j in range(nb):
+    for j in range(start, end):
         take = jnp.minimum(left, eB[j + 1] - eB[j])
         bits[j] = bits[j] + _sel(in_coded[j], take, 0)
         left = _sel(in_coded[j], left - take, left)
 
-    ebits = [None] * nb
-    fine_priority = [None] * nb
+    zt_ = jnp.zeros_like(total)
+    ebits = [zt_] * nb
+    fine_priority = [zt_] * nb
     balance = jnp.zeros_like(total)
     logM = tabs.lm << BITRES
-    for j in range(nb):
+    for j in range(start, end):
         n0 = eB[j + 1] - eB[j]
         n = n0 << tabs.lm
         in_c = in_coded[j]
@@ -792,20 +810,27 @@ def fused_plan(d, buf, lens, tabs: DecTabs, old_e, active):
                             d["nbits_total"])
     live = active & (silence == 0)
 
-    # ---- postfilter (start==0) ----
+    # ---- postfilter (only read when start == 0, celt_decoder.c:1232) --
     tell = K.rk_tell(d)
-    pf_read = live & (tell + 16 <= total_bits)
-    pf_on, d = K.rk_dec_bit_logp(d, buf, lens, 1, pf_read)
-    pf = pf_read & (pf_on != 0)
-    octave, d = K.rk_dec_uint(d, buf, lens, jnp.full_like(tell, 6), pf)
-    pbits, d = K.rk_dec_bits(d, buf, lens,
-                             jnp.where(pf, 4 + octave, 0), pf)
-    pf_pitch = _sel(pf, (16 << octave) + pbits - 1, 0)
-    qg, d = K.rk_dec_bits(d, buf, lens, jnp.where(pf, 3, 0), pf)
-    tp_read = pf & (K.rk_tell(d) + 2 <= total_bits)
-    tapset, d = K.rk_dec_icdf(d, buf, lens, TAPSET_ICDF, 2, tp_read)
-    pf_tapset = _sel(tp_read, tapset, 0)
-    pf_gain = jnp.where(pf, f32(0.09375) * (qg + 1).astype(f32), f32(0.0))
+    if tabs.start == 0:
+        pf_read = live & (tell + 16 <= total_bits)
+        pf_on, d = K.rk_dec_bit_logp(d, buf, lens, 1, pf_read)
+        pf = pf_read & (pf_on != 0)
+        octave, d = K.rk_dec_uint(d, buf, lens, jnp.full_like(tell, 6),
+                                  pf)
+        pbits, d = K.rk_dec_bits(d, buf, lens,
+                                 jnp.where(pf, 4 + octave, 0), pf)
+        pf_pitch = _sel(pf, (16 << octave) + pbits - 1, 0)
+        qg, d = K.rk_dec_bits(d, buf, lens, jnp.where(pf, 3, 0), pf)
+        tp_read = pf & (K.rk_tell(d) + 2 <= total_bits)
+        tapset, d = K.rk_dec_icdf(d, buf, lens, TAPSET_ICDF, 2, tp_read)
+        pf_tapset = _sel(tp_read, tapset, 0)
+        pf_gain = jnp.where(pf, f32(0.09375) * (qg + 1).astype(f32),
+                            f32(0.0))
+    else:
+        pf_pitch = jnp.zeros_like(tell)
+        pf_tapset = jnp.zeros_like(tell)
+        pf_gain = jnp.zeros(tell.shape, f32)
 
     # ---- transient + intra ----
     tell = K.rk_tell(d)
@@ -844,7 +869,7 @@ def fused_plan(d, buf, lens, tabs: DecTabs, old_e, active):
                             bits_left, live)
 
     # ---- fine energy ----
-    for i in range(nb):
+    for i in range(tabs.start, tabs.end_band):
         fq = ebits[i]
         has = live & (fq > 0)
         q2, d = K.rk_dec_bits(d, buf, lens, jnp.where(has, fq, 0), has)
@@ -1413,13 +1438,15 @@ def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
     (len*8*8 - anti_collapse_rsv).  Returns (X regs list[N], collapse
     list[nb], seed, d)."""
     nb = tabs.nb
+    start, end = tabs.start, tabs.end_band
     M = tabs.M
     eB = [int(v) for v in tabs.eBands]
+    norm_offset = M * eB[start]
     norm_total = M * eB[nb - 1]
     bsz = balance.shape[0]
     norm = jnp.zeros((bsz, norm_total), f32)
     collapse = [jnp.zeros_like(balance) for _ in range(nb)]
-    X = []
+    X = [jnp.zeros((bsz, norm_offset), f32)] if start > 0 else []
     transient = plan["is_transient"]
     B_lanes = _sel(transient != 0, M, 1)
     spread = plan["spread"]
@@ -1429,10 +1456,10 @@ def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
     lowband_offset = jnp.zeros_like(balance)
     update_lowband = jnp.ones(balance.shape, bool)
 
-    for i in range(nb):
+    for i in range(start, end):
         n = M * (eB[i + 1] - eB[i])
         tell = K.rk_tell_frac(d)
-        if i != 0:
+        if i != start:
             balance = balance - tell
         remaining_bits = total_bits8 - tell - 1
         ctx["rb"] = remaining_bits
@@ -1444,8 +1471,8 @@ def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
                                       pulses[i] + curr_balance), 0, 16383),
                  0)
 
-        # lowband_offset update (per-lane)
-        eligible = (M * eB[i] - n >= 0 and i != 0) or i == 1
+        # lowband_offset update (per-lane); bands.c:1738
+        eligible = (M * eB[i] - n >= norm_offset) or i == start + 1
         if eligible:
             upd = active & (update_lowband | (lowband_offset == 0))
             lowband_offset = _sel(upd, i, lowband_offset)
@@ -1455,16 +1482,16 @@ def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
         fold_cond = active & (lowband_offset != 0) \
             & ((spread != SPREAD_AGGRESSIVE) | (B_lanes > 1)
                | (tf_change < 0))
-        lo_vals = [j for j in range(1, i + 1)
-                   if (M * eB[j] - M * (eB[j + 1] - eB[j]) >= 0
-                       and j != 0) or j == 1]
+        lo_vals = [j for j in range(start + 1, i + 1)
+                   if (M * eB[j] - M * (eB[j + 1] - eB[j])
+                       >= norm_offset) or j == start + 1]
         lb = jnp.zeros((bsz, n), f32)
         x_cm = _sel(fold_cond, 0,
                     ((u32(1) << B_lanes.astype(u32)) - 1).astype(i32))
         for lo in lo_vals:
             mv = fold_cond & (lowband_offset == lo)
-            eff = max(0, M * eB[lo] - n)
-            # fold range (static per (i, lo))
+            eff = max(norm_offset, M * eB[lo] - n)
+            # fold range (static per (i, lo)); bands.c:1769-1772
             fs_ = lo
             while True:
                 fs_ -= 1
@@ -1500,7 +1527,7 @@ def quant_all_bands_mono(d, buf, lens, tabs: DecTabs, plan, total_bits8,
         collapse[i] = _sel(active, cm_out & 0xFF, 0)
         X.append(x_band)
         # lowband_out (skip for the last band)
-        if i != nb - 1:
+        if i != end - 1:
             nrm = f32(math.sqrt(n))
             base = M * eB[i]
             upd_w = jnp.where(active[:, None], nrm * x_band,
@@ -1523,12 +1550,13 @@ def _anti_collapse(tabs: DecTabs, X, collapse, plan, prev1, prev2, seed,
     nb [sh] f32 (log energies of the previous two frames, already
     max-combined by the caller per the c==1 decode rule)."""
     nb = tabs.nb
+    start, end = tabs.start, tabs.end_band
     lm = tabs.lm
     kk = 1 << lm
     eB = [int(v) for v in tabs.eBands]
     bsz = seed.shape[0]
-    segs = []
-    for i in range(nb):
+    segs = [X[:, :eB[start] << lm]] if start > 0 else []
+    for i in range(start, end):
         n0 = eB[i + 1] - eB[i]
         depth = ((1 + plan["pulses"][i]) // n0) >> lm
         # reference uses (1+pulses[i])/n0 >> LM with pulses in 8th bits
@@ -1571,14 +1599,16 @@ def _anti_collapse(tabs: DecTabs, X, collapse, plan, prev1, prev2, seed,
 
 
 def fused_celt_decode_frame(buf, lens, old_e, prev1, prev2, seed, rng_in,
-                            tabs: DecTabs, active):
+                            tabs: DecTabs, active, d0=None):
     """Full mono CELT frame symbol decode: plan + bands + anti-collapse
     + energy finalise (celt_decoder.c:1209-1560 below packet parse).
 
     buf: [W, *sh] packed words; lens/seed: [sh]; old_e/prev1/prev2:
-    lists of nb [sh] f32.  Returns (out dict, state)."""
+    lists of nb [sh] f32.  d0: optional live range-decoder state to
+    continue from (the hybrid path shares one coder with SILK,
+    src/opus_decoder.c:432).  Returns (out dict, state)."""
     nb = tabs.nb
-    d = K.rk_init(buf, lens)
+    d = K.rk_init(buf, lens) if d0 is None else d0
     plan, d = fused_plan(d, buf, lens, tabs, old_e, active)
     live = plan["live"]
     total_bits8 = (lens * 8 << BITRES) - plan["anti_collapse_rsv"]
@@ -1594,7 +1624,7 @@ def fused_celt_decode_frame(buf, lens, old_e, prev1, prev2, seed, rng_in,
     energies = list(plan["energies"])
     bits_left = lens * 8 - K.rk_tell(d)
     for prio in (0, 1):
-        for i in range(nb):
+        for i in range(tabs.start, tabs.end_band):
             can = live & (bits_left >= 1) \
                 & (plan["ebits"][i] < MAX_FINE_BITS) \
                 & (plan["fine_priority"][i] == prio)
@@ -1618,14 +1648,15 @@ def fused_celt_decode_frame(buf, lens, old_e, prev1, prev2, seed, rng_in,
 # production wrapper: packets -> PCM in one jit                         #
 # ===================================================================== #
 
-def fused_celt_decode_to_pcm(buf, lens, state, tabs: DecTabs):
+def fused_celt_decode_to_pcm(buf, lens, state, tabs: DecTabs, d0=None):
     """One fully-on-device frame: symbol decode + synthesis DSP.
 
     state: dict with per-band lists old_e/prev1/prev2 ([B] f32 each),
     seed [B] u32, pf_* postfilter memories, and `dsp` (the
-    batched_decode.DecState).  Returns (pcm [B, 1, N], new state,
-    error [B]).  Scope: mono, 48 kHz, no loss (PLC via scalar
-    fallback on the error lanes)."""
+    batched_decode.DecState).  d0: optional live range-decoder state
+    (hybrid: continue from SILK's coder).  Returns (pcm [B, 1, N],
+    new state, error [B]).  Scope: mono, 48 kHz, no loss (PLC via
+    scalar fallback on the error lanes)."""
     from .batched_decode import decode_step
     from ..celt.tables import COMB_GAINS, COMBFILTER_MINPERIOD
 
@@ -1633,7 +1664,7 @@ def fused_celt_decode_to_pcm(buf, lens, state, tabs: DecTabs):
     active = jnp.ones(lens.shape, bool)
     out, st2 = fused_celt_decode_frame(
         buf, lens, state["old_e"], state["prev1"], state["prev2"],
-        state["seed"], None, tabs, active)
+        state["seed"], None, tabs, active, d0=d0)
     err = st2["d"]["error"] != 0
     silence = out["silence"] != 0
     transient = out["is_transient"] != 0
@@ -1670,6 +1701,12 @@ def fused_celt_decode_to_pcm(buf, lens, state, tabs: DecTabs):
                  for p1, p2 in zip(prev1, prev2)]
     new_prev1 = [_sel(transient, jnp.minimum(p1, e), e)
                  for p1, e in zip(prev1, e_sil)]
+    # bands outside [start, end) reset to 0 / -28 every frame
+    # (celt_decoder.c:1604-1612)
+    for i in list(range(tabs.start)) + list(range(tabs.end_band, nb)):
+        e_sil[i] = jnp.zeros_like(e_sil[i])
+        new_prev1[i] = jnp.full_like(new_prev1[i], -28.0)
+        new_prev2[i] = jnp.full_like(new_prev2[i], -28.0)
     # for lm != 0 the old phase also advances to the new params
     # (celt_decoder.c:1592-1596); for lm == 0 old <- current
     if tabs.lm != 0:

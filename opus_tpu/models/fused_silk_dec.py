@@ -629,13 +629,17 @@ def _parse_frame_symbols(d, buf, lens, tabs, active, error,
     return d, error
 
 
-@partial(jax.jit, static_argnames=("fs_khz", "nb_subfr"))
+@partial(jax.jit, static_argnames=("fs_khz", "nb_subfr", "return_rc"))
 def fused_silk_decode(buf, lens, state: FusedSilkState, *,
-                      fs_khz: int = 16, nb_subfr: int = 4):
+                      fs_khz: int = 16, nb_subfr: int = 4,
+                      return_rc: bool = False):
     """One 20 ms SILK frame per stream, fully on device.
 
     buf: [B, S] int32 payload bytes; lens: [B] i32.
-    Returns (xq int16-valued [B, L] i32, new state, error [B] bool)."""
+    Returns (xq int16-valued [B, L] i32, new state, error [B] bool);
+    with return_rc=True appends the final range-decoder state so a
+    hybrid caller can continue decoding the CELT half from the same
+    coder (src/opus_decoder.c:432 shares one ec_dec across both)."""
     tabs = _SilkTabs(fs_khz, nb_subfr)
     b = buf.shape[0]
     sf = 5 * fs_khz
@@ -965,6 +969,8 @@ def fused_silk_decode(buf, lens, state: FusedSilkState, *,
         prev_nlsf=new_prev_nlsf, last_gain_index=new_last_gain,
         prev_gain_q16=prev_g, first_frame=jnp.zeros((b,), bool),
         synth=synth)
+    if return_rc:
+        return xq, new_state, error, d
     return xq, new_state, error
 
 
