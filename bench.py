@@ -306,6 +306,42 @@ def bench_fused_silk_dec():
     return b * (frame / fs) / dt
 
 
+def bench_fused_hybrid():
+    """Fused hybrid decode (tracked config 4): packets -> 48 kHz PCM,
+    SILK + CELT high band over one shared on-device range decoder."""
+    from opus_tpu.models.hybrid_dec_fused import FusedHybridDecoder
+    from opus_tpu.models.opus_encoder import OpusEncoder
+    from opus_tpu.bitstream import packet as pkt
+
+    b = min(BATCH, 1024)
+    fs, frame = 48000, 960
+    rng = np.random.default_rng(11)
+    t = np.arange(frame * 4) / fs
+    f0 = 110 * (1 + 0.2 * np.sin(2 * np.pi * 1.1 * t))
+    sig = 0.35 * np.sin(2 * np.pi * np.cumsum(f0) / fs) \
+        + 0.06 * np.sin(2 * np.pi * 9500 * t) \
+        + 0.01 * rng.standard_normal(len(t))
+    sig = np.clip(sig, -1, 1)
+    enc = OpusEncoder(fs, 1, application="voip")
+    enc.set_bitrate(32000)
+    enc.set_force_mode(pkt.Mode.HYBRID)
+    enc.set_bandwidth(pkt.Bandwidth.FULLBAND)
+    pays = []
+    for i in range(4):
+        p = enc.encode(sig[i * frame:(i + 1) * frame], frame)
+        pays.append(pkt.packet_parse(p).frames[0])
+    fd = FusedHybridDecoder(b)
+    batch_pays = [pays[i % len(pays)] for i in range(b)]
+    _, err = fd.decode(batch_pays)          # compile
+    assert not err.any()
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        _, err = fd.decode(batch_pays)
+    dt = (time.perf_counter() - t0) / reps
+    return b * (frame / fs) / dt
+
+
 def bench_fargan():
     """Batched FARGAN vocoder (config 5's synthesis stage)."""
     try:
@@ -381,9 +417,13 @@ def main():
     if not kernel_path:
         streams, step_s = bench_fused_celt()
         how = "fused-XLA symbol pass"
-    silk = fargan = None
+    silk = fargan = hybrid = None
     try:
         silk = bench_fused_silk_dec()
+    except Exception:
+        pass
+    try:
+        hybrid = bench_fused_hybrid()
     except Exception:
         pass
     fargan = bench_fargan()
@@ -403,6 +443,8 @@ def main():
     }
     if silk is not None:
         out["silk_dec_streams"] = round(silk, 1)
+    if hybrid is not None:
+        out["hybrid_dec_streams"] = round(hybrid, 1)
     if fargan is not None:
         out["fargan_streams"] = round(fargan, 1)
     if recovery is not None:

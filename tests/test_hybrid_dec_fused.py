@@ -30,7 +30,10 @@ def _speechlike(nframes, seed=7):
     f0 = 110 * (1 + 0.2 * np.sin(2 * np.pi * 1.1 * t))
     sig = 0.35 * np.sin(2 * np.pi * np.cumsum(f0) / FS)
     sig += 0.15 * np.sin(2 * np.pi * 3 * np.cumsum(f0) / FS + 0.4)
-    sig += 0.06 * np.sin(2 * np.pi * 6000 * t)   # HF content for CELT
+    # content above the 8 kHz hybrid crossover so the CELT band tree
+    # codes real pulses, not just noise fill
+    sig += 0.06 * np.sin(2 * np.pi * 9500 * t)
+    sig += 0.03 * np.sin(2 * np.pi * 13700 * t)
     sig *= 1 + 0.3 * np.sin(2 * np.pi * 2.3 * t)
     sig += 0.01 * rng.standard_normal(len(t))
     return np.clip(sig, -1, 1)
