@@ -133,6 +133,41 @@ def test_fused_encode_quality_matches_scalar():
                            np.concatenate(out2))
     assert fused_snr > scalar_snr - 1.0, (fused_snr, scalar_snr)
 
+    # opus_compare psychoacoustic gate: the fused encoder must track
+    # the scalar encoder on the conformance metric (band-energy
+    # weighted, transient-sensitive), not just broadband SNR
+    # (utils/compare.py ports tests/opus_compare.c)
+    from opus_tpu.utils.compare import compare
+
+    ref64 = sigs[0].astype(np.float64)
+
+    def _q(sig):
+        # align out the codec delay (compare assumes time alignment)
+        best, best_sh = -1e9, 0
+        for sh in range(0, 400):
+            m = min(len(ref64), len(sig) - sh)
+            if m < 2 * N:
+                continue
+            err2 = np.mean((ref64[N:m] - sig[sh:sh + m][N:m]) ** 2)
+            s = 10 * np.log10(np.mean(ref64[N:m] ** 2) / (err2 + 1e-12))
+            if s > best:
+                best, best_sh = s, sh
+        m = min(len(ref64), len(sig) - best_sh)
+        ref16 = np.clip(np.round(ref64[:m] * 32768.0), -32768, 32767)
+        ref_st = np.repeat(ref16, 2).astype(np.int16)
+        t16 = np.clip(np.round(sig[best_sh:best_sh + m] * 32768.0),
+                      -32768, 32767).astype(np.int16)
+        _, qv = compare(ref_st, t16, channels=1, rate=48000)
+        return qv
+
+    q_fused = _q(np.concatenate(out))
+    q_scalar = _q(np.concatenate(out2))
+    # Q is rate- and length-sensitive (the >= 0 conformance bar applies
+    # to the full high-rate vectors); the DRIFT gate is the instrument:
+    # the fused encoder's float32 decisions must not lose psychoacoustic
+    # ground against the float64 scalar encoder on transient material
+    assert q_fused >= q_scalar - 2.0, (q_fused, q_scalar)
+
 
 @pytest.mark.skipif(not os.path.exists(_LIB),
                     reason="reference libopus not built")
