@@ -330,15 +330,24 @@ def bench_fused_hybrid():
     for i in range(4):
         p = enc.encode(sig[i * frame:(i + 1) * frame], frame)
         pays.append(pkt.packet_parse(p).frames[0])
+    # SILK frames chain decoder state (conditional gain/LSF coding), so
+    # every lane runs the same 4-frame sequence with carried state —
+    # decoding frame k>0 against a fresh state is out of contract and
+    # trips the error lanes.
+    from opus_tpu.models.hybrid_dec_fused import hybrid_init_state
     fd = FusedHybridDecoder(b)
-    batch_pays = [pays[i % len(pays)] for i in range(b)]
-    _, err = fd.decode(batch_pays)          # compile
-    assert not err.any()
+    for p in pays:                          # compile + contract check
+        _, err = fd.decode([p] * b)
+        assert not err.any()
     t0 = time.perf_counter()
-    reps = 5
+    reps = 2
     for _ in range(reps):
-        _, err = fd.decode(batch_pays)
-    dt = (time.perf_counter() - t0) / reps
+        # frame 0 is coded independently: restart the sequence from a
+        # fresh state each pass (state init is negligible vs decode)
+        fd.state = hybrid_init_state(b, fd.tabs)
+        for p in pays:
+            _, err = fd.decode([p] * b)
+    dt = (time.perf_counter() - t0) / (reps * len(pays))
     return b * (frame / fs) / dt
 
 
@@ -413,19 +422,29 @@ def main():
             step_s = stage["chain_frame_s"]
             how = "Pallas-kernel symbol pass"
         except Exception:
+            if os.environ.get("OPUS_BENCH_DEBUG", "") == "1":
+                raise
             kernel_path = False
     if not kernel_path:
         streams, step_s = bench_fused_celt()
         how = "fused-XLA symbol pass"
+    debug = os.environ.get("OPUS_BENCH_DEBUG", "") == "1"
     silk = fargan = hybrid = None
     try:
         silk = bench_fused_silk_dec()
     except Exception:
-        pass
-    try:
-        hybrid = bench_fused_hybrid()
-    except Exception:
-        pass
+        if debug:
+            raise
+    # Off by default: the batch-1024 unrolled hybrid graph crashed the
+    # axon TPU worker in round-5 validation (23 min into compile/run,
+    # "TPU worker process crashed"); running it mid-bench risks taking
+    # the headline lines down with it.  OPUS_BENCH_HYBRID=1 opts in.
+    if os.environ.get("OPUS_BENCH_HYBRID", "") == "1":
+        try:
+            hybrid = bench_fused_hybrid()
+        except Exception:
+            if debug:
+                raise
     fargan = bench_fargan()
     recovery = bench_dnn_recovery()
     baseline = 50000.0
