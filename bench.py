@@ -413,7 +413,35 @@ def bench_dnn_recovery():
         return None
 
 
+def _device_alive(timeout_s: int = 300) -> bool:
+    """Probe the accelerator in a subprocess (a wedged PJRT worker hangs
+    the client indefinitely — e.g. after a kernel-fault worker crash —
+    and only a process kill gets out cleanly)."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp; "
+            "jnp.ones((8, 128)).sum().block_until_ready(); "
+            "print('ok', jax.default_backend())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_alive():
+        # fail fast with a parseable line rather than hanging the
+        # driver: a dead worker makes every number unmeasurable.
+        print(json.dumps({
+            "metric": "realtime-equiv enc+dec streams/chip "
+                      "(accelerator unreachable: device probe timed "
+                      "out; last measured run is recorded in "
+                      "COMPONENTS.md 'Performance budget')",
+            "value": 0.0, "unit": "streams", "vs_baseline": 0.0,
+            "error": "device probe timed out"}))
+        return
     kernel_path = FRAME >= 480
     stage = {}
     if kernel_path:
